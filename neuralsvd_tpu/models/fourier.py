@@ -1,0 +1,53 @@
+"""Gaussian / deterministic Fourier feature maps.
+
+Reference: examples/utils.py:90-143 (GaussianFourierFeatureTransform).
+
+The projection matrix B is a fixed (non-trainable) buffer; here it is a
+closure constant baked into the jitted graph (it is small: D x mapping_size),
+so ``init`` contributes no trainable leaves.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def make_fourier_features(
+    input_dim: int,
+    mapping_size: int = 256,
+    scale: float = 10.0,
+    deterministic: bool = False,
+    append_raw: bool = False,
+    seed: int = 0,
+):
+    """Returns ``(init, apply)``; ``apply.feature_dim`` gives the output dim.
+
+    deterministic=True uses the integer-frequency bank
+    ``B = scale * [I, 2I, ..., mI]`` (for periodic problems on [-pi, pi]);
+    otherwise a Gaussian random projection ``2*pi*scale*N(0,1)``.
+    """
+    if deterministic:
+        B = scale * np.concatenate(
+            [i * np.eye(input_dim) for i in range(1, mapping_size + 1)], axis=0
+        ).T  # (input_dim, input_dim * mapping_size)
+        eff_mapping = input_dim * mapping_size
+    else:
+        rng = np.random.default_rng(seed)
+        B = 2 * np.pi * scale * rng.standard_normal((input_dim, mapping_size))
+        eff_mapping = mapping_size
+    B = jnp.asarray(B, dtype=jnp.float32)
+    feature_dim = 2 * eff_mapping + (input_dim if append_raw else 0)
+
+    def init(key):
+        return {}
+
+    def apply(params, x):
+        x = x.reshape(x.shape[0], -1)  # (B, n_particles*D) -> flat
+        proj = x @ B
+        feats = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+        if append_raw:
+            feats = jnp.concatenate([feats, x], axis=-1)
+        return feats
+
+    apply.feature_dim = feature_dim
+    return init, apply

@@ -1,0 +1,106 @@
+"""Differential operators, TPU-first.
+
+Two Laplacian implementations (reference: examples/operator/pde/diff_ops.py):
+
+1. ``batched_fd_laplacian`` — central finite differences.  The reference
+   loops over dimensions with 2D+1 separate model forward passes
+   (diff_ops.py:40-47); here all 2D+1 probe points are stacked into ONE
+   model call of batch B*(2D+1), turning D small matmuls into one large MXU
+   -friendly matmul (larger batch = better systolic-array utilization, one
+   kernel launch, full XLA fusion).
+
+2. ``exact_laplacian`` — nested autodiff.  The reference uses
+   reverse-over-reverse per output channel (diff_ops.py:54-121, O(L) backward
+   passes); here forward-over-forward JVPs vmapped over probe directions:
+   cost O(D) forward passes, no transposes, and — crucially — fully
+   jit-compatible with static shapes.
+
+Importance conjugation (diff_ops.py:12-23): with sampling density w, operate
+on g = sqrt(w)·f and divide out sqrt(w) afterwards, clamped at 1e-5.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def batched_fd_laplacian(f: Callable, xs: jax.Array, eps: float,
+                         return_grad: bool = False):
+    """Finite-difference Laplacian of vector-valued ``f`` at ``xs`` (B, D).
+
+    Returns (lap (B, L), grad (B, L, D) or 0., fs (B, L)).
+    """
+    B, D = xs.shape[0], xs.shape[-1]
+    xs_flat = xs.reshape(B, D)
+    eye = jnp.eye(D, dtype=xs_flat.dtype) * eps
+    # probe stack: [x, x+eps e_1, x-eps e_1, ..., x+eps e_D, x-eps e_D]
+    plus = xs_flat[None, :, :] + eye[:, None, :]   # (D, B, D)
+    minus = xs_flat[None, :, :] - eye[:, None, :]  # (D, B, D)
+    probes = jnp.concatenate(
+        [xs_flat[None], plus, minus], axis=0)      # (2D+1, B, D)
+    out = f(probes.reshape((2 * D + 1) * B, D))    # one model call
+    out = out.reshape(2 * D + 1, B, *out.shape[1:])
+    fs = out[0]                                    # (B, L)
+    f_plus = out[1:D + 1]                          # (D, B, L)
+    f_minus = out[D + 1:]                          # (D, B, L)
+    lap = (f_plus.sum(0) + f_minus.sum(0) - 2 * D * fs) / (eps ** 2)
+    if return_grad:
+        grad = jnp.moveaxis((f_plus - f_minus) / (2 * eps), 0, -1)  # (B, L, D)
+        return lap, grad, fs
+    return lap, 0.0, fs
+
+
+def exact_laplacian(f: Callable, xs: jax.Array, return_grad: bool = False):
+    """Exact Laplacian via vmapped forward-over-forward JVPs.
+
+    For each basis direction e_i:  jvp twice gives (∂_i f, ∂²_i f);
+    summing the second over i yields ∇²f.  Returns (lap, grad or 0., fs).
+    """
+    B, D = xs.shape[0], xs.shape[-1]
+    xs_flat = xs.reshape(B, D)
+
+    def second_dir(e):
+        def first_dir(x):
+            return jax.jvp(f, (x,), (jnp.broadcast_to(e, x.shape),))[1]
+        d1, d2 = jax.jvp(first_dir, (xs_flat,),
+                         (jnp.broadcast_to(e, xs_flat.shape),))
+        return d1, d2  # (B, L) each: ∂_i f, ∂²_i f
+
+    grads, seconds = jax.vmap(second_dir)(jnp.eye(D, dtype=xs_flat.dtype))
+    lap = seconds.sum(0)  # (B, L)
+    fs = f(xs_flat)
+    if return_grad:
+        return lap, jnp.moveaxis(grads, 0, -1), fs  # (B, L, D)
+    return lap, 0.0, fs
+
+
+class VectorizedLaplacian:
+    """Laplacian with optional importance-weighted conjugation.
+
+    eps > 0 selects finite differences; eps <= 0 selects exact autodiff
+    (reference: diff_ops.py:4-23).
+    """
+
+    def __init__(self, eps: float = 1e-5):
+        self.eps = eps
+
+    def _lap(self, f, xs, return_grad):
+        if self.eps > 0:
+            return batched_fd_laplacian(f, xs, self.eps, return_grad)
+        return exact_laplacian(f, xs, return_grad)
+
+    def __call__(self, f: Callable, xs: jax.Array,
+                 importance: Optional[Callable] = None,
+                 return_grad: bool = False):
+        if importance is None:
+            return self._lap(f, xs, return_grad)
+        g = lambda x: jnp.sqrt(importance(x)) * f(x)
+        lap_g, grad_g, gs = self._lap(g, xs, return_grad)
+        sqrt_ws = jnp.clip(jnp.sqrt(importance(xs)), min=1e-5)  # (B, 1)
+        lap = lap_g / sqrt_ws
+        fs = gs / sqrt_ws
+        if return_grad:
+            return lap, grad_g / sqrt_ws[..., None], fs
+        return lap, grad_g, fs

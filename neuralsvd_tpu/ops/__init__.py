@@ -1,0 +1,23 @@
+from neuralsvd_tpu.ops.masks import (
+    joint_nesting_masks,
+    sequential_nesting_masks,
+    step_weights,
+)
+from neuralsvd_tpu.ops.gram import compute_lambda, compute_loss_metric, off_diagonal
+from neuralsvd_tpu.ops.nestedlora import (
+    nestedlora_evd_loss,
+    nestedlora_svd_loss,
+    nestedlora_cdk_loss,
+)
+
+__all__ = [
+    "joint_nesting_masks",
+    "sequential_nesting_masks",
+    "step_weights",
+    "compute_lambda",
+    "compute_loss_metric",
+    "off_diagonal",
+    "nestedlora_evd_loss",
+    "nestedlora_svd_loss",
+    "nestedlora_cdk_loss",
+]
