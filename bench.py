@@ -1,0 +1,163 @@
+"""Benchmark: hydrogen-2D NestedLoRA training throughput (north-star config).
+
+Measures steps/sec of the fused jitted train step (sampling + batched FD
+Laplacian + NestedLoRA custom-VJP + RMSprop + EMA) on the default JAX
+device, for the BASELINE.json target workload (top-16 hydrogen, batch 512).
+
+``vs_baseline`` compares against a PyTorch re-implementation of the
+reference's training step run on this host's CPU (the reference's
+algorithmic structure: per-dimension Python-loop FD Laplacian, autograd
+-Function-style loss), timed here for an honest same-host ratio.  The
+reference repo itself publishes no throughput numbers (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_default_matmul_precision", "float32")
+
+NEIGS = 16
+BATCH = 512
+NDIM = 2
+HIDDEN = [128, 128, 128]
+FOURIER = 256
+TIMED_STEPS = 100
+
+
+def bench_jax():
+    from neuralsvd_tpu.methods.nestedlora import NestedLoRA
+    from neuralsvd_tpu.models import make_wavefunctions
+    from neuralsvd_tpu.operators.problems import get_problem
+    from neuralsvd_tpu.training.optimizers import torch_rmsprop
+    from neuralsvd_tpu.training.train_operator import make_scanned_train_step
+    from neuralsvd_tpu.training.train_state import init_train_state
+
+    init, apply = make_wavefunctions(
+        ndim=NDIM, neigs=NEIGS, mlp_hidden_dims=HIDDEN,
+        nonlinearity="softplus", use_fourier_feature=True,
+        fourier_mapping_size=FOURIER, fourier_scale=0.1,
+        apply_boundary=True, boundary_mode="dir_box_sqrt", lim=32.0)
+    params = init(jax.random.key(0))
+    operator, _, _ = get_problem(
+        problem="sch", potential_type="hydrogen", ndim=NDIM, neigs=NEIGS,
+        laplacian_eps=0.1, operator_scale=100.0, operator_shift=0.0)
+    method = NestedLoRA(apply, neigs=NEIGS, sequential=False, step=1)
+    optimizer = torch_rmsprop(1e-4, alpha=0.999)
+
+    def sampler(key):
+        return 16.0 * jax.random.normal(key, (BATCH, NDIM))
+
+    # device-resident multi-step (lax.scan) amortizes host dispatch — the
+    # per-step tunnel round-trip otherwise dominates at this model size
+    run = jax.jit(make_scanned_train_step(
+        method, operator, optimizer, sampler, ema_decay=0.995,
+        steps_per_call=TIMED_STEPS))
+    ts = init_train_state(params, optimizer, method)
+    key = jax.random.key(1)
+    ts, losses = run(ts, key)  # compile + warmup chunk
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    ts, losses = run(ts, jax.random.key(2))
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(losses[-1]))
+    return TIMED_STEPS / dt
+
+
+def bench_torch_reference_proxy(max_seconds=60.0):
+    """Reference-style torch training step on host CPU: per-dim FD loop,
+    NestedLoRA loss with hand-written backward, RMSprop."""
+    try:
+        import torch
+    except ImportError:
+        return None
+    torch.manual_seed(0)
+
+    L, B, D = NEIGS, BATCH, NDIM
+    fourier_B = 2 * np.pi * 0.1 * torch.randn(D, FOURIER)
+
+    layers = []
+    dims = [2 * FOURIER] + HIDDEN + [L]
+    for i in range(len(dims) - 1):
+        layers.append(torch.nn.Linear(dims[i], dims[i + 1]))
+        if i < len(dims) - 2:
+            layers.append(torch.nn.Softplus())
+    net = torch.nn.Sequential(*layers)
+
+    lim = 32.0
+
+    def model(x):
+        proj = x @ fourier_B
+        feats = torch.cat([torch.sin(proj), torch.cos(proj)], dim=1)
+        out = net(feats)
+        xc = torch.clamp(x, -lim, lim)
+        mask = torch.ones(x.shape[0], 1)
+        for i in range(D):
+            mask = mask * torch.clamp(
+                (torch.sqrt(2 * lim ** 2 - xc[:, i:i + 1] ** 2) - lim) / lim,
+                min=0.0)
+        return out * mask
+
+    eps = 0.1
+    vmask = torch.tensor(np.cumsum(np.full(L, 1.0 / L)[::-1])[::-1].copy(),
+                         dtype=torch.float32)
+    mmask = torch.minimum(vmask[:, None], vmask[None, :])
+
+    opt = torch.optim.RMSprop(net.parameters(), lr=1e-4, alpha=0.999,
+                              eps=1e-10)
+
+    def train_step():
+        x = 16.0 * torch.randn(B, D)
+        fs = model(x)
+        lap = -2 * D * fs
+        for i in range(D):  # reference-style per-dimension probe loop
+            e = torch.zeros(1, D)
+            e[0, i] = eps
+            lap = lap + model(x + e) + model(x - e)
+        lap = lap / eps ** 2
+        V = -(1.0 / x.norm(dim=1, p=2)).reshape(-1, 1)
+        Tf = (-(-lap + V * fs)) * 100.0
+        f1, f2 = torch.chunk(fs, 2)
+        lam1 = (f1.T @ f1 / f1.shape[0]).detach()
+        lam2 = (f2.T @ f2 / f2.shape[0]).detach()
+        # custom-gradient semantics via surrogate objective
+        op_surrogate = -4.0 * torch.einsum(
+            "l,bl,bl->", vmask, fs, Tf.detach()) / fs.shape[0]
+        met_surrogate = (
+            2.0 * torch.einsum("lm,lm,bl,bm->", mmask, lam2, f1, f1.detach())
+            / f1.shape[0]
+            + 2.0 * torch.einsum("lm,lm,bl,bm->", mmask, lam1, f2, f2.detach())
+            / f2.shape[0])
+        loss = op_surrogate + met_surrogate
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    # warmup
+    train_step()
+    n = 0
+    t0 = time.perf_counter()
+    while True:
+        train_step()
+        n += 1
+        dt = time.perf_counter() - t0
+        if n >= 20 or dt > max_seconds:
+            break
+    return n / dt
+
+
+if __name__ == "__main__":
+    value = bench_jax()
+    ref = bench_torch_reference_proxy()
+    vs = (value / ref) if ref else None
+    print(json.dumps({
+        "metric": "hydrogen2d_L16_bs512_train_steps_per_sec",
+        "value": round(value, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))

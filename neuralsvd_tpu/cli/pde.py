@@ -1,0 +1,140 @@
+"""PDE solver entry point: python -m neuralsvd_tpu.cli.pde [flags].
+
+Reference: examples/operator/pde/main_pde.py.  Wires problem registry,
+wavefunction model, device-native samplers, method factory and the jitted
+training driver; saves per-eval spectra to stats.npz and checkpoints.
+"""
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+import numpy as np
+
+from neuralsvd_tpu.data.samplers import get_sampler, make_val_grid
+from neuralsvd_tpu.methods.factories import get_evd_method
+from neuralsvd_tpu.models import make_wavefunctions
+from neuralsvd_tpu.models.mlp import parse_dims
+from neuralsvd_tpu.operators.problems import get_problem
+from neuralsvd_tpu.training.checkpoint import save_checkpoint
+from neuralsvd_tpu.training.optimizers import build_optimizer, cosine_annealing
+from neuralsvd_tpu.training.train_operator import train_operator
+from neuralsvd_tpu.utils.config import PDEConfig, parse_pde_config, run_name
+from neuralsvd_tpu.utils.logging import CSVLogger
+from neuralsvd_tpu.utils.plotting import (
+    plot_1d_eigfuncs,
+    plot_2d_eigfuncs,
+    plot_and_save_spectrum,
+)
+
+log = logging.getLogger("neuralsvd_tpu.pde")
+
+
+def main(cfg: PDEConfig):
+    jax.config.update("jax_default_matmul_precision", "float32")
+    logging.basicConfig(level=logging.INFO)
+
+    log_dir = os.path.join(cfg.log_dir, run_name(cfg))
+    if os.path.exists(log_dir) and not cfg.overwrite:
+        raise ValueError(f"{log_dir} exists and --overwrite not set")
+    os.makedirs(log_dir, exist_ok=True)
+    log.info("log dir: %s", log_dir)
+
+    operator, ground_truth_spectrum, n_particles = get_problem(
+        problem=cfg.problem, potential_type=cfg.potential_type,
+        ndim=cfg.ndim, neigs=cfg.neigs, lim=cfg.lim, charge=cfg.charge,
+        hydrogen_mol_ion_R=cfg.hydrogen_mol_ion_R, mol_name=cfg.mol_name,
+        laplacian_eps=cfg.laplacian_eps, operator_scale=cfg.operator_scale,
+        operator_shift=cfg.operator_shift, scale_operator=cfg.scale_operator)
+
+    init, apply = make_wavefunctions(
+        ndim=cfg.ndim, neigs=cfg.neigs,
+        mlp_hidden_dims=parse_dims(cfg.mlp_hidden_dims),
+        nonlinearity=cfg.nonlinearity, n_particles=n_particles,
+        parallel=cfg.parallel,
+        use_fourier_feature=cfg.use_fourier_feature,
+        fourier_mapping_size=cfg.fourier_mapping_size,
+        fourier_scale=cfg.fourier_scale,
+        fourier_deterministic=cfg.fourier_deterministic,
+        fourier_append_raw=cfg.fourier_append_raw,
+        fourier_seed=cfg.seed,
+        apply_boundary=cfg.apply_boundary, boundary_mode=cfg.boundary_mode,
+        lim=cfg.lim, apply_exp_mask=cfg.apply_exp_mask,
+        exp_mask_init_scale=cfg.exp_mask_init_scale,
+        hard_mul_const=cfg.hard_mul_const)
+    params = init(jax.random.key(cfg.seed))
+
+    sample, importance_train = get_sampler(
+        cfg.sampling_mode, cfg.batch_size, n_particles, cfg.ndim,
+        cfg.sampling_scale)
+
+    val_batches = importance_val = None
+    val_data = None
+    if cfg.ndim in (1, 2) and n_particles == 1:
+        val_data, val_batches, importance_val = make_val_grid(
+            cfg.ndim, cfg.lim, cfg.val_eps, cfg.batch_size)
+
+    method_opts = {
+        "neuralsvd": vars(cfg.loss.neuralsvd),
+        "nestedlora": vars(cfg.loss.neuralsvd),
+        "neuralef": vars(cfg.loss.neuralef),
+        "spin": vars(cfg.loss.spin),
+        "spinx": vars(cfg.loss.spin),
+    }[cfg.loss.name]
+    method = get_evd_method(cfg.loss.name, apply, cfg.neigs, sort=cfg.sort,
+                            **method_opts)
+
+    lr_schedule = (cosine_annealing(cfg.lr, cfg.num_iters)
+                   if cfg.use_lr_scheduler else None)
+    optimizer = build_optimizer(
+        cfg.optimizer, cfg.lr, momentum=cfg.momentum,
+        rmsprop_decay=cfg.rmsprop_decay, adam_eps=cfg.adam_eps,
+        lr_schedule=lr_schedule)
+
+    logger = CSVLogger(log_dir, ["iter", "train_loss", "time"])
+
+    def checkpoint_fn(ts, it, outputs):
+        normalize = method.name in ("nestedlora", "neuralsvd")
+        plot_and_save_spectrum(
+            {"RQ": outputs["eigvals"],
+             "Norms^2": outputs["norms"] if normalize else None},
+            outputs["cov"], ground_truth_spectrum=ground_truth_spectrum,
+            log_dir=log_dir, tag=f"it{it}")
+        if cfg.ndim == 1 and val_data is not None:
+            plot_1d_eigfuncs(val_data, outputs["eigfuncs"], log_dir,
+                             tag=f"it{it}")
+        if cfg.ndim == 2 and val_data is not None:
+            plot_2d_eigfuncs(outputs["eigfuncs"], log_dir, tag=f"it{it}")
+        save_checkpoint(os.path.join(log_dir, f"ckpt_{it}"),
+                        jax.tree.map(np.asarray, ts._asdict()))
+
+    spinx_refresh = None
+    if cfg.loss.name == "spinx":
+        def spinx_refresh(ts, key):
+            x = sample(key).reshape(cfg.batch_size, -1)
+            new_state = method.refresh_weights(
+                ts.params, ts.method_state, x, operator, importance_train)
+            return ts._replace(method_state=new_state)
+
+    ts, all_eigvals, all_norms = train_operator(
+        method, operator, sample, optimizer, params,
+        num_iters=cfg.num_iters,
+        importance_train=importance_train, importance_val=importance_val,
+        val_batches=val_batches,
+        ground_truth_spectrum=ground_truth_spectrum,
+        ema_decay=cfg.ema_decay, eval_freq=cfg.eval_freq,
+        print_freq=cfg.print_freq, log_dir=log_dir, log_writer=logger,
+        seed=cfg.seed, monitor=cfg.print_local_energies,
+        post_align=cfg.post_align, checkpoint_fn=checkpoint_fn,
+        spinx_refresh=spinx_refresh)
+
+    np.savez(os.path.join(log_dir, "stats.npz"),
+             all_eigvals=np.asarray(all_eigvals),
+             all_norms=np.asarray(all_norms))
+    log.info("done; stats saved to %s", log_dir)
+    return ts, all_eigvals, all_norms
+
+
+if __name__ == "__main__":
+    main(parse_pde_config())

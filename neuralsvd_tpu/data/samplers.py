@@ -1,0 +1,86 @@
+"""Training-point samplers and importance densities, device-native.
+
+TPU-first departure from the reference: the reference draws batches on host
+and ships them with ``.to(device)`` every step (examples/operator/pde/
+main_pde.py:89-135, the single host→device boundary in its hot loop).  Here
+samplers are pure functions of a PRNG key that run *inside* the jitted train
+step — zero host↔device traffic during training.
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_sampler(sampling_mode: str, batch_size: int, n_particles: int,
+                ndim: int, sampling_scale: float
+                ) -> Tuple[Callable, Callable]:
+    """Returns (sample(key) -> (B, n_particles*ndim), importance(x) -> (B, 1)).
+
+    The importance function is the sampling density (used for operator
+    conjugation and train→val reweighting).
+    """
+    d = n_particles * ndim
+    shape = (batch_size, d)
+
+    if sampling_mode == "gaussian":
+        def sample(key):
+            return sampling_scale * jax.random.normal(key, shape)
+
+        log_norm = -0.5 * d * np.log(2 * np.pi * sampling_scale ** 2)
+
+        def importance(x):
+            x = x.reshape(x.shape[0], -1)
+            logp = log_norm - 0.5 * jnp.sum(x ** 2, axis=-1) / sampling_scale ** 2
+            return jnp.exp(logp).reshape(-1, 1)
+
+        return sample, importance
+
+    if sampling_mode == "laplacian":
+        def sample(key):
+            return sampling_scale * jax.random.laplace(key, shape)
+
+        log_norm = -d * np.log(2 * sampling_scale)
+
+        def importance(x):
+            x = x.reshape(x.shape[0], -1)
+            logp = log_norm - jnp.sum(jnp.abs(x), axis=-1) / sampling_scale
+            return jnp.exp(logp).reshape(-1, 1)
+
+        return sample, importance
+
+    if sampling_mode == "uniform":
+        def sample(key):
+            return sampling_scale * (2 * jax.random.uniform(key, shape) - 1)
+
+        def importance(x):
+            density = 1.0 / (2 * sampling_scale) ** d
+            return jnp.full((x.shape[0], 1), density, dtype=jnp.float32)
+
+        return sample, importance
+
+    raise NotImplementedError(sampling_mode)
+
+
+def make_val_grid(ndim: int, lim: float, val_eps: float, batch_size: int):
+    """Meshgrid validation set over [-lim, lim]^ndim with uniform importance.
+
+    Returns (val_data (N, ndim), batch_iter_factory, importance_val).
+    Reference: main_pde.py:120-130.  Only sensible for ndim <= 2.
+    """
+    xs = np.arange(-lim, lim, val_eps)
+    grids = np.meshgrid(*(ndim * [xs]))
+    val_data = np.stack([g.ravel() for g in grids], axis=1).astype(np.float32)
+
+    def batches():
+        for i in range(0, len(val_data), batch_size):
+            yield val_data[i:i + batch_size]
+
+    def importance_val(x):
+        density = 1.0 / (2 * lim) ** ndim
+        return jnp.full((x.shape[0], 1), density, dtype=jnp.float32)
+
+    return val_data, batches, importance_val

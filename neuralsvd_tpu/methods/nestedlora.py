@@ -1,0 +1,146 @@
+"""NestedLoRA (NeuralSVD) method wrappers.
+
+Reference: methods/nestedlora.py:167-267 (NestedLoRA) and :335-378
+(NestedLoRAForCDK).  The loss kernels live in ops/nestedlora.py; this layer
+handles mask construction, the half-batch split, the kernel-operator path,
+and optional eigval-sorted output ordering.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralsvd_tpu.ops.masks import (
+    joint_nesting_masks,
+    sequential_nesting_masks,
+    step_weights,
+)
+from neuralsvd_tpu.ops.nestedlora import nestedlora_cdk_loss, nestedlora_evd_loss
+
+
+def _build_masks(neigs: int, step: int, sequential: bool,
+                 set_first_mode_const: bool = False):
+    if sequential:
+        return sequential_nesting_masks(neigs, set_first_mode_const)
+    return joint_nesting_masks(step_weights(neigs, step), set_first_mode_const)
+
+
+class NestedLoRA:
+    """NeuralSVD via nested low-rank approximation (EVD paths).
+
+    ``sort_indices`` (set after an eval registered eigenvalues) reorders the
+    model outputs during training so nesting weights track the spectrum
+    order (reference: methods/nestedlora.py:195-209).
+    """
+
+    name = "nestedlora"
+
+    def __init__(self, apply_fn: Callable, neigs: int, step: int = 1,
+                 sequential: bool = False, sort: bool = False,
+                 axis_name: Optional[str] = None):
+        self.apply_fn = apply_fn
+        self.neigs = neigs
+        self.sort = sort
+        self.axis_name = axis_name
+        vmask, mmask = _build_masks(neigs, step, sequential)
+        self.vector_mask = jnp.asarray(vmask)
+        self.matrix_mask = jnp.asarray(mmask)
+        self.sort_indices: Optional[np.ndarray] = None
+        self.eigvals: Optional[np.ndarray] = None
+
+    # -- stateless: eigval registration is host-side (between jit steps) ----
+    def register_eigvals(self, eigvals):
+        self.eigvals = np.asarray(eigvals)
+        self.sort_indices = np.argsort(self.eigvals)[::-1].copy()
+
+    def reset_eigvals(self):
+        self.eigvals = None
+        self.sort_indices = None
+
+    def init_state(self, params):
+        return {}
+
+    def _model(self, params):
+        if self.sort_indices is not None:
+            idx = jnp.asarray(self.sort_indices)
+            return lambda x: self.apply_fn(params, x)[:, idx]
+        return lambda x: self.apply_fn(params, x)
+
+    def eval_fn(self, params, state):
+        return lambda x: self.apply_fn(params, x)
+
+    # -- operator path (reference :254-267) ---------------------------------
+    def loss_and_grad(self, params, state, x, operator, importance=None):
+        def loss_fn(p):
+            f = self._model(p)
+            Tf, fs = operator(f, x, importance)
+            f1, f2 = jnp.split(fs, 2)
+            loss = nestedlora_evd_loss(self.axis_name, fs, Tf, f1, f2,
+                                       self.vector_mask, self.matrix_mask)
+            return loss, (fs, Tf)
+
+        (loss, (fs, Tf)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, grads, dict(f=fs, Tf=Tf, eigvals=None), state
+
+    # -- kernel path (reference :230-252) -----------------------------------
+    def loss_and_grad_kernel(self, params, state, x, get_approx_kernel_op,
+                             importance=None, split_batch: bool = False):
+        def loss_fn(p):
+            f = self._model(p)
+            if split_batch:
+                x1, x2 = jnp.split(x, 2)
+                Kf1, f1 = get_approx_kernel_op(x2)(f, x1, importance)
+                f2 = f(x2)
+                loss = nestedlora_evd_loss(self.axis_name, f1, Kf1, f1, f2,
+                                           self.vector_mask, self.matrix_mask)
+                return loss, (f1, Kf1)
+            Kf, fs = get_approx_kernel_op(x)(f, x, importance)
+            f1, f2 = jnp.split(fs, 2)
+            loss = nestedlora_evd_loss(self.axis_name, fs, Kf, f1, f2,
+                                       self.vector_mask, self.matrix_mask)
+            return loss, (fs, Kf)
+
+        (loss, (fs, Kf)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, grads, dict(f=fs, Tf=Kf, eigvals=None), state
+
+
+class NestedLoRAForCDK:
+    """NestedLoRA for the canonical dependence kernel from paired samples.
+
+    ``apply_fn(params, x, y) -> (f, g)`` is a two-tower model.
+    Reference: methods/nestedlora.py:335-378.
+    """
+
+    name = "nestedlora"
+
+    def __init__(self, apply_fn: Callable, neigs: int, step: int = 1,
+                 sequential: bool = False, set_first_mode_const: bool = True,
+                 axis_name: Optional[str] = None):
+        self.apply_fn = apply_fn
+        self.neigs = neigs
+        self.set_first_mode_const = set_first_mode_const
+        self.axis_name = axis_name
+        vmask, mmask = _build_masks(neigs, step, sequential, set_first_mode_const)
+        self.vector_mask = jnp.asarray(vmask)
+        self.matrix_mask = jnp.asarray(mmask)
+
+    def init_state(self, params):
+        return {}
+
+    def loss_and_grad(self, params, state, x, y, batch_weights=None):
+        def loss_fn(p):
+            fx, gy = self.apply_fn(p, x, y)
+            out = nestedlora_cdk_loss(self.axis_name, self.set_first_mode_const,
+                                      fx, gy, self.vector_mask,
+                                      self.matrix_mask, batch_weights)
+            loss, loss_op, loss_met, rs_joint, rs_indep = out
+            return loss, (fx, gy, loss_op, loss_met, rs_joint, rs_indep)
+
+        (loss, aux_t), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        fx, gy, loss_op, loss_met, rs_joint, rs_indep = aux_t
+        aux = dict(f=fx, g=gy, loss_operator=loss_op, loss_metric=loss_met,
+                   rs_joint=rs_joint, rs_indep=rs_indep)
+        return loss, grads, aux, state

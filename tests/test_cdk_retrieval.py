@@ -1,0 +1,104 @@
+"""CDK pipeline tests: retrieval metrics vs hand-computed oracles, and a
+synthetic end-to-end two-tower training run through the shared driver."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from neuralsvd_tpu.data.sketchy import ArrayPairLoader
+from neuralsvd_tpu.eval.retrieval import (
+    Retrieval,
+    average_precisions,
+    get_retrievals,
+    precision_at_k,
+    top_k_retrievals,
+)
+
+
+def test_top_k_inner_product_matches_numpy(rng):
+    Q, N, D = 13, 57, 8
+    zx = rng.normal(size=(Q, D)).astype(np.float32)
+    zy = rng.normal(size=(N, D)).astype(np.float32)
+    idx = top_k_retrievals(zx, zy, K=5, metric="inner_product")
+    scores = zx @ zy.T
+    expected = np.argsort(-scores, axis=1)[:, :5]
+    np.testing.assert_array_equal(idx, expected)
+
+
+def test_top_k_euclidean_matches_numpy(rng):
+    Q, N, D = 9, 31, 4
+    zx = rng.normal(size=(Q, D)).astype(np.float32)
+    zy = rng.normal(size=(N, D)).astype(np.float32)
+    idx = top_k_retrievals(zx, zy, K=3, metric="euclidean")
+    d2 = ((zx[:, None] - zy[None]) ** 2).sum(-1)
+    expected = np.argsort(d2, axis=1)[:, :3]
+    np.testing.assert_array_equal(idx, expected)
+
+
+def test_precision_and_ap_oracles():
+    # query 0: hits at ranks 1 and 3; query 1: no hits
+    rel = np.array([[1, 0, 1, 0], [0, 0, 0, 0]], dtype=bool)
+    np.testing.assert_allclose(precision_at_k(rel), [0.5, 0.0])
+    # AP ver1 with optimistic interpolation:
+    # precs = [1, .5, 2/3, .5]; maxprecs = [1, 2/3, 2/3, .5]
+    # AP(q0) = (1 + 2/3)/2
+    aps = average_precisions(rel, n_relevant_items=np.array([2, 2]), ver=1)
+    np.testing.assert_allclose(aps, [(1 + 2 / 3) / 2, 0.0], rtol=1e-6)
+    aps2 = average_precisions(rel, n_relevant_items=np.array([2, 2]), ver=2)
+    np.testing.assert_allclose(aps2, [(1 + 2 / 3) / 2, 0.0], rtol=1e-6)
+    aps3 = average_precisions(rel, n_relevant_items=np.array([2, 2]), ver=3)
+    np.testing.assert_allclose(aps3, [(1 + 2 / 3) / 2, 0.0], rtol=1e-6)
+
+
+def test_perfect_retrieval_scores_one(rng):
+    """Class-clustered embeddings give P@K = 1 and mAP = 1."""
+    n_cls, per_cls, D = 4, 8, 6
+    centers = 10 * rng.normal(size=(n_cls, D))
+    cls = np.repeat(np.arange(n_cls), per_cls)
+    zx = centers[cls] + 0.01 * rng.normal(size=(len(cls), D))
+    zy = centers[cls] + 0.01 * rng.normal(size=(len(cls), D))
+    rel, _ = get_retrievals(zx, zy, cls, cls, K=per_cls, metric="euclidean")
+    assert precision_at_k(rel).mean() == 1.0
+
+
+def _make_synth_loaders(rng, n_cls=6, per_cls=30, D=16, batch=64):
+    """Correlated (x, y) pairs: class-dependent means + noise."""
+    centers_x = 3 * rng.normal(size=(n_cls, D)).astype(np.float32)
+    centers_y = 3 * rng.normal(size=(n_cls, D)).astype(np.float32)
+
+    def split(seed):
+        r = np.random.default_rng(seed)
+        cls = np.repeat(np.arange(n_cls), per_cls)
+        x = centers_x[cls] + r.normal(size=(len(cls), D)).astype(np.float32)
+        y = centers_y[cls] + r.normal(size=(len(cls), D)).astype(np.float32)
+        return ArrayPairLoader(x, y, cls, batch_size=batch, seed=seed)
+
+    return split(1), split(2), split(3)
+
+
+def test_cdk_end_to_end_synthetic(rng, tmp_path):
+    """Two-tower CDK training on synthetic class-correlated pairs improves
+    retrieval well above chance and produces the full artifact set."""
+    from neuralsvd_tpu.cli.sketchy import get_args, run_training
+
+    train, test, valid = _make_synth_loaders(rng)
+    args = get_args([
+        "--log_dir", str(tmp_path), "--num_epochs", "3",
+        "--batch_size", "64", "--network_dims", "64,16", "--neigs", "16",
+        "--optimizer", "adam", "--base_lr", "1e-3", "--mu", "4.0",
+        "--n_retrievals", "10", "--return_map_all",
+        "--trunc_dims", "4", "8", "-8",
+    ])
+    params, trunc_results = run_training(args, train, test, valid,
+                                         input_dim=16)
+    import csv
+    logs = [f for f in os.listdir(tmp_path) if f.endswith(".csv")]
+    assert logs
+    with open(os.path.join(tmp_path, logs[0])) as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == 3
+    final_pk = float(rows[-1]["test_P@K"])
+    chance = 1.0 / 6  # 6 balanced classes
+    assert final_pk > 2 * chance, f"P@K {final_pk} not above chance"
+    assert set(trunc_results) == {4, 8, -8}
+    assert os.path.exists(os.path.join(tmp_path, "best_stats.npz"))
