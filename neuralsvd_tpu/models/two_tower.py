@@ -9,6 +9,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from neuralsvd_tpu.models.mlp import make_mlp
 
@@ -30,6 +31,88 @@ def normalize_embedding(z: jax.Array, r_up: float, mode: str) -> jax.Array:
     if mode == "tanh":
         return r_up * jnp.tanh(z)
     raise NotImplementedError(mode)
+
+
+def make_siam_network(
+    input_dim: int,
+    backbone_dims: Sequence[int],
+    projector_dims: Sequence[int],
+    nonlinearity: str = "relu",
+    mu: float = 1.0,
+    regularize_mode: str = "l2_ball",
+    separation: bool = False,
+    batch_l2norm: bool = False,
+    momentum: float = 0.9,
+):
+    """Shared-weight two-tower network (SSL-style) with optional per-mode
+    separation scales and batch-L2 normalization.
+
+    Reference: examples/models/siam.py:9-129 (SiamNetwork; not used by the
+    shipped mains but part of the model zoo).  The l2norm EMA is explicit
+    state: ``apply(params, state, z1, z2=None, train=...)`` returns
+    ``(f1_emb[, f2_emb], new_state)``.
+    """
+    assert not (separation and batch_l2norm)
+    bb_init, bb_apply = make_mlp([input_dim] + list(backbone_dims),
+                                 nonlinearity, bias=True)
+    feature_dim = (list(projector_dims) or list(backbone_dims))[-1]
+    pj_init, pj_apply = (
+        make_mlp([backbone_dims[-1]] + list(projector_dims), nonlinearity,
+                 bias=True)
+        if projector_dims else (lambda k: {}, lambda p, x: x))
+    r_up = float(np.sqrt(mu)) if mu > 0 else 0.0
+
+    def init(key):
+        kb, kp = jax.random.split(key)
+        params = {"backbone": bb_init(kb), "projector": pj_init(kp)}
+        if separation:
+            scales = jnp.linspace(mu / feature_dim, mu, feature_dim)[::-1]
+            params["scales_param"] = scales[None, :]
+        return params
+
+    def init_state():
+        return {"l2norm": jnp.ones((feature_dim,)),
+                "initialized": jnp.zeros((), jnp.bool_)}
+
+    def _scales(params):
+        scales = jnp.sqrt(jnp.abs(params["scales_param"]))
+        return normalize_embedding(scales, r_up, "l2_ball")
+
+    def embed_single(params, state, z, train: bool):
+        rep = bb_apply(params["backbone"], z)
+        emb = pj_apply(params["projector"], rep)
+        new_state = state
+        if separation or batch_l2norm:
+            if train:
+                bn = jnp.linalg.norm(emb, axis=0) / jnp.sqrt(emb.shape[0])
+                ema = jnp.sqrt(momentum * state["l2norm"] ** 2
+                               + (1 - momentum) * bn ** 2)
+                l2 = jnp.where(state["initialized"], ema, bn)
+                new_state = {"l2norm": jax.lax.stop_gradient(l2),
+                             "initialized": jnp.ones((), jnp.bool_)}
+                norm = bn
+            else:
+                norm = state["l2norm"]
+            if separation:
+                emb = emb / jnp.clip(norm, min=1e-6)
+                emb = emb * _scales(params)
+            else:
+                total = jnp.sqrt(jnp.sum(norm ** 2))
+                scale = jnp.where(total > r_up, r_up / jnp.clip(total, min=1e-6),
+                                  1.0)
+                emb = emb * scale
+        else:
+            emb = normalize_embedding(emb, r_up, regularize_mode)
+        return rep, emb, new_state
+
+    def apply(params, state, z1, z2=None, train: bool = False):
+        rep1, emb1, state = embed_single(params, state, z1, train)
+        if z2 is None:
+            return rep1, emb1, state
+        rep2, emb2, state = embed_single(params, state, z2, train)
+        return rep1, emb1, rep2, emb2, state
+
+    return init, init_state, apply
 
 
 def make_hetero_network(

@@ -203,10 +203,20 @@ def test_evd_dp_shard_map_matches_single_device(rng):
 def test_evd_training_recovers_spectrum_of_finite_operator(rng):
     """Direct-parameterization training on a symmetric kernel operator:
     the learned modes' norms and Rayleigh quotients must match the operator
-    spectrum, and the modes must be orthogonal (SURVEY §4 oracle test)."""
+    spectrum, and the modes must be orthogonal (SURVEY §4 oracle test).
+
+    The metric half-batches f1/f2 MUST be fresh iid draws each step (with-
+    replacement index batches here).  Splitting a *fixed* grid in halves —
+    even with a per-step permutation — makes lam1/lam2 negatively correlated
+    (lam1+lam2 is pinned to the full-grid gram), so E[lam1⊙lam2] =
+    lam² − Var(lam1): the optimizer can then lower the penalty unboundedly
+    by concentrating mass on few points, and training blows up.  This is a
+    property of the estimator (reference chunks *fresh* batches,
+    methods/nestedlora.py:263), not an implementation bug — see git history.
+    """
     import optax
 
-    N, L = 64, 4
+    N, L, Bh, STEPS = 64, 4, 128, 4000
     Q, _ = np.linalg.qr(rng.normal(size=(N, N)))
     target_eigvals = np.array([2.0, 1.5, 1.0, 0.6] + [0.1] * (N - 4))
     M = (Q * target_eigvals) @ Q.T  # symmetric operator matrix, eigvals known
@@ -214,22 +224,27 @@ def test_evd_training_recovers_spectrum_of_finite_operator(rng):
     vmask, mmask = sequential_nesting_masks(L)
 
     F0 = 0.1 * rng.normal(size=(N, L)).astype(np.float32)
-    opt = optax.adam(5e-2)
+    opt = optax.adam(optax.cosine_decay_schedule(5e-2, STEPS))
 
     @jax.jit
-    def step(F, opt_state):
+    def step(F, opt_state, key):
         def loss_fn(F):
-            TF = M @ F  # operator application on the grid, uniform measure
-            f1, f2 = jnp.split(F, 2)
-            return nestedlora_evd_loss(None, F, TF, f1, f2, vmask, mmask)
+            TF = M @ F  # exact operator application on the grid
+            k1, k2 = jax.random.split(key)
+            i1 = jax.random.randint(k1, (Bh,), 0, N)
+            i2 = jax.random.randint(k2, (Bh,), 0, N)
+            return nestedlora_evd_loss(None, F, TF, F[i1], F[i2],
+                                       vmask, mmask)
 
         loss, grads = jax.value_and_grad(loss_fn)(F)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(F, updates), opt_state, loss
 
     F, opt_state = F0, opt.init(F0)
-    for _ in range(4000):
-        F, opt_state, loss = step(F, opt_state)
+    key = jax.random.key(0)
+    for _ in range(STEPS):
+        key, sub = jax.random.split(key)
+        F, opt_state, loss = step(F, opt_state, sub)
 
     F = np.asarray(F)
     cov = F.T @ F / N
@@ -237,7 +252,7 @@ def test_evd_training_recovers_spectrum_of_finite_operator(rng):
     rayleigh = np.diag(quad) / np.diag(cov)
     # operator eigvals under the empirical measure: M's eigvals directly
     np.testing.assert_allclose(sorted(rayleigh, reverse=True),
-                               target_eigvals[:L], rtol=2e-2)
+                               target_eigvals[:L], rtol=1e-2)
     # norm-based estimator (NestedLoRA property): diag(cov) ≈ eigvals
     np.testing.assert_allclose(sorted(np.diag(cov), reverse=True),
                                target_eigvals[:L], rtol=5e-2)

@@ -1,0 +1,81 @@
+"""Pallas fused-kernel parity vs the XLA loss path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from neuralsvd_tpu.ops import (
+    joint_nesting_masks,
+    nestedlora_evd_loss,
+    step_weights,
+)
+from neuralsvd_tpu.ops.pallas_gram import (
+    masked_gram_pair,
+    metric_grads,
+    nestedlora_evd_loss_pallas,
+    weighted_dot,
+)
+
+
+@pytest.fixture
+def data(rng):
+    B, L = 96, 5  # unaligned on purpose: exercises lane/batch padding
+    f = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    Tf = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    f1, f2 = jnp.split(f, 2)
+    vmask, mmask = joint_nesting_masks(step_weights(L))
+    return f, Tf, f1, f2, jnp.asarray(vmask), jnp.asarray(mmask)
+
+
+def test_masked_gram_pair_matches_xla(data):
+    f, Tf, f1, f2, vmask, mmask = data
+    with pltpu.force_tpu_interpret_mode():
+        loss, lam1, lam2 = masked_gram_pair(f1, f2, mmask)
+    exp_lam1 = np.asarray(f1).T @ np.asarray(f1) / f1.shape[0]
+    exp_lam2 = np.asarray(f2).T @ np.asarray(f2) / f2.shape[0]
+    np.testing.assert_allclose(lam1, exp_lam1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(lam2, exp_lam2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        loss, (np.asarray(mmask) * exp_lam1 * exp_lam2).sum(),
+        rtol=1e-5)
+
+
+def test_weighted_dot_matches_xla(data):
+    f, Tf, f1, f2, vmask, mmask = data
+    with pltpu.force_tpu_interpret_mode():
+        out = weighted_dot(f, Tf, vmask)
+    exp = np.einsum("l,bl,bl->", vmask, f, Tf)
+    np.testing.assert_allclose(out, exp, rtol=1e-5)
+
+
+def test_metric_grads_match_xla(data):
+    f, Tf, f1, f2, vmask, mmask = data
+    lam1 = f1.T @ f1 / f1.shape[0]
+    lam2 = f2.T @ f2 / f2.shape[0]
+    with pltpu.force_tpu_interpret_mode():
+        g1, g2 = metric_grads(f1, f2, lam1, lam2, mmask,
+                              2.0 / f1.shape[0], 2.0 / f2.shape[0])
+    e1 = (2 / f1.shape[0]) * np.einsum("lm,lm,bl->bm", mmask, lam2, f1)
+    e2 = (2 / f2.shape[0]) * np.einsum("lm,lm,bl->bm", mmask, lam1, f2)
+    np.testing.assert_allclose(g1, e1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(g2, e2, rtol=1e-4, atol=1e-5)
+
+
+def test_full_loss_and_grads_match_xla_path(data):
+    f, Tf, f1, f2, vmask, mmask = data
+
+    def xla_loss(f, Tf, f1, f2):
+        return nestedlora_evd_loss(None, f, Tf, f1, f2, vmask, mmask)
+
+    def pl_loss(f, Tf, f1, f2):
+        return nestedlora_evd_loss_pallas(f, Tf, f1, f2, vmask, mmask)
+
+    with pltpu.force_tpu_interpret_mode():
+        lp = pl_loss(f, Tf, f1, f2)
+        gp = jax.grad(pl_loss, argnums=(0, 2, 3))(f, Tf, f1, f2)
+    lx = xla_loss(f, Tf, f1, f2)
+    gx = jax.grad(xla_loss, argnums=(0, 2, 3))(f, Tf, f1, f2)
+    np.testing.assert_allclose(lp, lx, rtol=1e-5)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
