@@ -19,7 +19,8 @@ def get_evd_method(method_name: str, apply_fn: Callable, neigs: int,
             apply_fn, neigs,
             step=opts.get("step", 1),
             sequential=opts.get("sequential", False),
-            sort=sort, axis_name=axis_name)
+            sort=sort, axis_name=axis_name,
+            use_pallas=opts.get("use_pallas", "auto"))
     if method_name == "neuralef":
         return NeuralEigenfunctions(
             apply_fn, neigs,

@@ -19,6 +19,7 @@ from neuralsvd_tpu.ops.masks import (
     step_weights,
 )
 from neuralsvd_tpu.ops.nestedlora import nestedlora_cdk_loss, nestedlora_evd_loss
+from neuralsvd_tpu.ops.pallas_gram import nestedlora_evd_loss_pallas
 
 
 def _build_masks(neigs: int, step: int, sequential: bool,
@@ -26,6 +27,26 @@ def _build_masks(neigs: int, step: int, sequential: bool,
     if sequential:
         return sequential_nesting_masks(neigs, set_first_mode_const)
     return joint_nesting_masks(step_weights(neigs, step), set_first_mode_const)
+
+
+def _resolve_use_pallas(use_pallas, neigs: int, axis_name) -> bool:
+    """Decide whether the fused Pallas EVD kernels are used.
+
+    "auto" enables them on TPU for L >= 32 (measured crossover on v5e:
+    1.2-1.9x over the XLA einsum path above that, slightly slower below —
+    scripts/bench_pallas.py).  The Pallas path covers the single-device,
+    scalar-output (B, L) case; under shard_map DP (axis_name set) the XLA
+    path is used so the Gram pmean stays inside the custom VJP.
+    """
+    if isinstance(use_pallas, str):
+        use_pallas = {"auto": "auto", "true": True, "false": False,
+                      "1": True, "0": False}[use_pallas.lower()]
+    if use_pallas == "auto":
+        return jax.default_backend() == "tpu" and neigs >= 32 and axis_name is None
+    if use_pallas and axis_name is not None:
+        raise ValueError("use_pallas=True is incompatible with axis_name "
+                         "(shard_map DP); use the XLA path or GSPMD sharding")
+    return bool(use_pallas)
 
 
 class NestedLoRA:
@@ -40,16 +61,25 @@ class NestedLoRA:
 
     def __init__(self, apply_fn: Callable, neigs: int, step: int = 1,
                  sequential: bool = False, sort: bool = False,
-                 axis_name: Optional[str] = None):
+                 axis_name: Optional[str] = None, use_pallas="auto"):
         self.apply_fn = apply_fn
         self.neigs = neigs
         self.sort = sort
         self.axis_name = axis_name
+        self.use_pallas = _resolve_use_pallas(use_pallas, neigs, axis_name)
         vmask, mmask = _build_masks(neigs, step, sequential)
         self.vector_mask = jnp.asarray(vmask)
         self.matrix_mask = jnp.asarray(mmask)
         self.sort_indices: Optional[np.ndarray] = None
         self.eigvals: Optional[np.ndarray] = None
+
+    def _evd_loss(self, fs, Tf, f1, f2):
+        if self.use_pallas and fs.ndim == 2:
+            return nestedlora_evd_loss_pallas(fs, Tf, f1, f2,
+                                              self.vector_mask,
+                                              self.matrix_mask)
+        return nestedlora_evd_loss(self.axis_name, fs, Tf, f1, f2,
+                                   self.vector_mask, self.matrix_mask)
 
     # -- stateless: eigval registration is host-side (between jit steps) ----
     def register_eigvals(self, eigvals):
@@ -78,8 +108,7 @@ class NestedLoRA:
             f = self._model(p)
             Tf, fs = operator(f, x, importance)
             f1, f2 = jnp.split(fs, 2)
-            loss = nestedlora_evd_loss(self.axis_name, fs, Tf, f1, f2,
-                                       self.vector_mask, self.matrix_mask)
+            loss = self._evd_loss(fs, Tf, f1, f2)
             return loss, (fs, Tf)
 
         (loss, (fs, Tf)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -94,13 +123,11 @@ class NestedLoRA:
                 x1, x2 = jnp.split(x, 2)
                 Kf1, f1 = get_approx_kernel_op(x2)(f, x1, importance)
                 f2 = f(x2)
-                loss = nestedlora_evd_loss(self.axis_name, f1, Kf1, f1, f2,
-                                           self.vector_mask, self.matrix_mask)
+                loss = self._evd_loss(f1, Kf1, f1, f2)
                 return loss, (f1, Kf1)
             Kf, fs = get_approx_kernel_op(x)(f, x, importance)
             f1, f2 = jnp.split(fs, 2)
-            loss = nestedlora_evd_loss(self.axis_name, fs, Kf, f1, f2,
-                                       self.vector_mask, self.matrix_mask)
+            loss = self._evd_loss(fs, Kf, f1, f2)
             return loss, (fs, Kf)
 
         (loss, (fs, Kf)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

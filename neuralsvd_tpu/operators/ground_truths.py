@@ -10,7 +10,7 @@ instead of the reference's generalized n-sphere recursion.
 from __future__ import annotations
 
 import numpy as np
-from scipy.special import binom, gammaln, genlaguerre, hyp1f1, lpmv
+from scipy.special import binom, gamma, gammaln, genlaguerre, hyp1f1, hyp2f1, lpmv
 
 
 class ToyProblem:
@@ -159,6 +159,65 @@ def real_sph_harm_3d(m, l, th, phi):
     if m > 0:
         return np.sqrt(2) * norm * P * np.cos(am * phi)
     return np.sqrt(2) * norm * P * np.sin(am * phi)
+
+
+def legendre_p(mu, lam, z):
+    """Legendre function of the first kind P^μ_λ(z) for |1 − z| < 2.
+
+    Hypergeometric representation (DLMF 14.3.1):
+    P^μ_λ(z) = ((1+z)/(1−z))^{μ/2} · ₂F₁(−λ, λ+1; 1−μ; (1−z)/2) / Γ(1−μ).
+    Needed for non-integer degree/order in the hyperspherical recursion.
+    """
+    return (((1 + z) / (1 - z)) ** (mu / 2)
+            * hyp2f1(-lam, lam + 1, 1 - mu, (1 - z) / 2) / gamma(1 - mu))
+
+
+def sph_harm(ells, ths):
+    """Hyperspherical harmonic on S^{D−1} (complex), D = len(ells) + 1.
+
+    ``ells = [l_1, …, l_{D−1}]`` with |l_1| ≤ l_2 ≤ … ≤ l_{D−1}; ``ths`` is
+    an array (D−1, n) of angles, ths[0] azimuthal.  Built as the standard
+    product of normalized Gegenbauer/Legendre factors (Avery's construction;
+    capability parity with reference ground_truths.py:218-256):
+
+      Y = e^{i l_1 θ_1}/√(2π) · Π_{j=2}^{D−1} ⱼP̄_{l_j}^{l_{j−1}}(θ_j)
+
+    where ⱼP̄_l^m(θ) = √[(2l+j−1)/2 · Γ(l+m+j−1)/Γ(l−m+1)]
+                       · sin^{(2−j)/2}θ · P^{−(m+(j−2)/2)}_{l+(j−2)/2}(cos θ).
+    """
+    ells = np.asarray(ells)
+    ths = np.atleast_2d(np.asarray(ths))
+    assert len(ells) == ths.shape[0]
+    assert abs(ells[0]) <= ells[1] if len(ells) > 1 else True
+    assert np.all(np.diff(ells[1:]) >= 0)
+
+    out = np.exp(1j * ells[0] * ths[0]) / np.sqrt(2 * np.pi)
+    for idx in range(1, len(ells)):
+        j = idx + 1  # factor index in the recursion, j = 2..D-1
+        m, l, th = ells[idx - 1], ells[idx], ths[idx]
+        if j == 2:  # ordinary associated Legendre, integer order
+            norm = np.sqrt((2 * l + 1) / 2
+                           * np.exp(gammaln(l + m + 1) - gammaln(l - m + 1)))
+            out = out * norm * lpmv(-m, l, np.cos(th))
+        else:
+            norm = np.sqrt((2 * l + j - 1) / 2
+                           * np.exp(gammaln(l + m + j - 1) - gammaln(l - m + 1)))
+            out = out * (norm * np.sin(th) ** ((2 - j) / 2)
+                         * legendre_p(-(m + (j - 2) / 2), l + (j - 2) / 2,
+                                      np.cos(th)))
+    return out
+
+
+def real_sph_harm(ells, ths):
+    """Real form of :func:`sph_harm` (reference ground_truths.py:259-270)."""
+    ells = np.asarray(ells).copy()
+    positive = ells[0] > 0
+    ells[0] = -abs(ells[0])
+    ys = sph_harm(ells, ths)
+    if ells[0] == 0:
+        return ys.real
+    sign = 1 if ells[0] % 2 == 0 else -1
+    return np.sqrt(2) * sign * (ys.imag if positive else ys.real)
 
 
 def cartesian_to_polar(x, y):

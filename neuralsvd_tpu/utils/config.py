@@ -17,6 +17,7 @@ class NeuralSVDOpts:
     step: int = 1
     sequential: bool = False
     set_first_mode_const: bool = True
+    use_pallas: str = "auto"  # auto | true | false (fused TPU loss kernels)
 
 
 @dataclass

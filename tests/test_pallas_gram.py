@@ -79,3 +79,41 @@ def test_full_loss_and_grads_match_xla_path(data):
     np.testing.assert_allclose(lp, lx, rtol=1e-5)
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_method_use_pallas_matches_xla_path(rng):
+    """NestedLoRA(use_pallas=True) end-to-end loss/grads == XLA method."""
+    from neuralsvd_tpu.methods.nestedlora import NestedLoRA
+
+    B, D, L = 64, 3, 4
+    W = jnp.asarray(rng.normal(size=(D, L)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    K = rng.normal(size=(B, B)).astype(np.float32)
+    K = jnp.asarray((K + K.T) / 2)
+
+    def apply_fn(params, xx):
+        return xx @ params
+
+    def operator(f, xx, importance=None):
+        fs = f(xx)
+        return K @ fs / xx.shape[0], fs
+
+    m_xla = NestedLoRA(apply_fn, L, use_pallas=False)
+    m_pl = NestedLoRA(apply_fn, L, use_pallas=True)
+    lx, gx, _, _ = m_xla.loss_and_grad(W, {}, x, operator)
+    with pltpu.force_tpu_interpret_mode():
+        lp, gp, _, _ = m_pl.loss_and_grad(W, {}, x, operator)
+    np.testing.assert_allclose(lp, lx, rtol=1e-5)
+    np.testing.assert_allclose(gp, gx, rtol=1e-4, atol=1e-6)
+
+
+def test_resolve_use_pallas_strings():
+    from neuralsvd_tpu.methods.nestedlora import _resolve_use_pallas
+
+    assert _resolve_use_pallas("false", 512, None) is False
+    assert _resolve_use_pallas("true", 4, None) is True
+    assert _resolve_use_pallas(False, 512, None) is False
+    # auto on CPU test platform -> False regardless of L
+    assert _resolve_use_pallas("auto", 512, None) is False
+    with pytest.raises(ValueError):
+        _resolve_use_pallas(True, 512, "dp")
