@@ -92,7 +92,8 @@ def main(cfg: PDEConfig):
         rmsprop_decay=cfg.rmsprop_decay, adam_eps=cfg.adam_eps,
         lr_schedule=lr_schedule)
 
-    logger = CSVLogger(log_dir, ["iter", "train_loss", "time"])
+    logger = CSVLogger(log_dir, ["iter", "train_loss", "time",
+                                 "steps_per_sec"])
 
     def checkpoint_fn(ts, it, outputs):
         normalize = method.name in ("nestedlora", "neuralsvd")
@@ -127,7 +128,10 @@ def main(cfg: PDEConfig):
         print_freq=cfg.print_freq, log_dir=log_dir, log_writer=logger,
         seed=cfg.seed, monitor=cfg.print_local_energies,
         post_align=cfg.post_align, checkpoint_fn=checkpoint_fn,
-        spinx_refresh=spinx_refresh)
+        spinx_refresh=spinx_refresh,
+        profile_dir=(os.path.join(log_dir, "profile") if cfg.profile
+                     else None),
+        profile_start=cfg.profile_start, profile_steps=cfg.profile_steps)
 
     np.savez(os.path.join(log_dir, "stats.npz"),
              all_eigvals=np.asarray(all_eigvals),

@@ -32,17 +32,21 @@ def _build_masks(neigs: int, step: int, sequential: bool,
 def _resolve_use_pallas(use_pallas, neigs: int, axis_name) -> bool:
     """Decide whether the fused Pallas EVD kernels are used.
 
-    "auto" enables them on TPU for L >= 32 (measured crossover on v5e:
-    1.2-1.9x over the XLA einsum path above that, slightly slower below —
-    scripts/bench_pallas.py).  The Pallas path covers the single-device,
-    scalar-output (B, L) case; under shard_map DP (axis_name set) the XLA
-    path is used so the Gram pmean stays inside the custom VJP.
+    Measured on v5e (scripts/bench_pallas.py): standalone, the Pallas
+    kernels beat the XLA einsum path 1.2-1.9x for L >= 32 (dispatch
+    -amortized).  *Inside the full jitted train step*, however, XLA fuses
+    the loss contractions into the model backward and wins (e.g. 332 vs
+    235 steps/s at L=64, B=2048, 256^3 MLP) — the pallas_call boundary
+    blocks that fusion.  So "auto" resolves to False; the kernels remain a
+    measured option for standalone/loss-dominated uses.  The Pallas path
+    covers the single-device, scalar-output (B, L) case; under shard_map DP
+    (axis_name set) the XLA path keeps the Gram pmean inside the custom VJP.
     """
     if isinstance(use_pallas, str):
         use_pallas = {"auto": "auto", "true": True, "false": False,
                       "1": True, "0": False}[use_pallas.lower()]
     if use_pallas == "auto":
-        return jax.default_backend() == "tpu" and neigs >= 32 and axis_name is None
+        return False
     if use_pallas and axis_name is not None:
         raise ValueError("use_pallas=True is incompatible with axis_name "
                          "(shard_map DP); use the XLA path or GSPMD sharding")

@@ -165,6 +165,33 @@ class NeuralEigenfunctions:
         norm = state[key]
         return lambda x: self.apply_fn(params, x) / norm
 
+    def register_norm(self, params, state, data, batch_size: int = 8192):
+        """Calibrate the normalizer on a full dataset (exact, not EMA).
+
+        Reference: BatchL2NormalizedFunctions.register_norm
+        (methods/utils.py:70-86) — there a full-batch forward with an OOM
+        -halving retry loop; here fixed-size batched accumulation of
+        Σ‖f‖² (static shapes, one compile).  Returns the updated state.
+        """
+        if self.batchnorm_mode == "none":
+            return state
+        data = jnp.asarray(data)
+        n = data.shape[0]
+        sq = jnp.zeros((1, self.neigs), jnp.float32)
+        count = 0
+        fwd = jax.jit(lambda p, x: jnp.sum(
+            jnp.square(self.apply_fn(p, x)), axis=0, keepdims=True))
+        for i in range(0, n - batch_size + 1, batch_size):
+            sq = sq + fwd(params, data[i:i + batch_size])
+            count += batch_size
+        rem = n - count
+        if rem:  # one ragged tail batch (second compile at most)
+            sq = sq + fwd(params, data[count:])
+            count = n
+        norm = jnp.sqrt(sq / count)
+        return {**state, "norm_biased": norm, "norm_unbiased": norm,
+                "initialized": jnp.ones((), jnp.bool_)}
+
     # -- operator path (reference :139-152) ---------------------------------
     def loss_and_grad(self, params, state, x, operator, importance=None):
         def loss_fn(p):

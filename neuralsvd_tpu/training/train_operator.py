@@ -136,8 +136,16 @@ def train_operator(
     normalize: Optional[bool] = None,
     checkpoint_fn: Optional[Callable] = None,
     spinx_refresh: Optional[Callable] = None,
+    profile_dir: Optional[str] = None,
+    profile_start: int = 100,
+    profile_steps: int = 20,
 ):
     """Host driver: runs the jitted step, periodic EMA eval + checkpointing.
+
+    With ``profile_dir`` set, a ``jax.profiler`` trace of
+    ``profile_steps`` iterations starting at ``profile_start`` is written
+    there (viewable in TensorBoard / Perfetto).  Per-step wall-clock
+    (steps/sec since start) is logged in every print row.
 
     Returns (final TrainState, all_eigvals, all_norms).
     """
@@ -163,6 +171,14 @@ def train_operator(
     total_loss = 0.0
     start = time.time()
     for it in range(num_iters):
+        if profile_dir is not None:
+            if it == profile_start:
+                jax.block_until_ready(ts.params)
+                jax.profiler.start_trace(profile_dir)
+            elif it == profile_start + profile_steps:
+                jax.block_until_ready(ts.params)
+                jax.profiler.stop_trace()
+                log.info("profiler trace written to %s", profile_dir)
         key = jax.random.fold_in(base_key, it)
         ts, metrics = step_fn(ts, key)
         if monitor:
@@ -174,8 +190,9 @@ def train_operator(
         if (it + 1) % print_freq == 0:
             loss_v = float(metrics["loss"])
             total_loss += loss_v
+            elapsed = time.time() - start
             row = {"iter": it + 1, "train_loss": loss_v,
-                   "time": time.time() - start}
+                   "time": elapsed, "steps_per_sec": (it + 1) / elapsed}
             log.info("%s", row)
             if log_writer is not None:
                 log_writer.writerow(row)
@@ -193,4 +210,7 @@ def train_operator(
                 checkpoint_fn(ts, it + 1, outputs)
             if spinx_refresh is not None:
                 ts = spinx_refresh(ts, key)
+    if profile_dir is not None and profile_start < num_iters <= (
+            profile_start + profile_steps):
+        jax.profiler.stop_trace()  # loop ended inside the trace window
     return ts, all_eigvals, all_norms

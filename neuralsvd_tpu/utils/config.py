@@ -17,7 +17,8 @@ class NeuralSVDOpts:
     step: int = 1
     sequential: bool = False
     set_first_mode_const: bool = True
-    use_pallas: str = "auto"  # auto | true | false (fused TPU loss kernels)
+    use_pallas: str = "auto"  # auto | true | false (fused TPU loss kernels;
+    # auto=false: XLA fuses the loss into the model bwd and wins e2e)
 
 
 @dataclass
@@ -94,6 +95,10 @@ class PDEConfig:
     # misc
     sort: bool = False
     post_align: bool = False
+    # profiling (jax.profiler trace of a step window; SURVEY §5.1)
+    profile: bool = False
+    profile_start: int = 100
+    profile_steps: int = 20
     loss: LossConfig = field(default_factory=LossConfig)
 
 

@@ -2,8 +2,13 @@
 
 Times value_and_grad of the NestedLoRA EVD loss (forward + backward) across
 the workload's shape range (PDE: L≈16-64, B≈512; CDK: L≈512, B≈4096).
-Decides whether the Pallas kernels ship as the default (SURVEY §7: "Pallas
-must beat XLA to ship").
+
+Result summary (v5e): standalone (this harness) Pallas wins 1.2-1.9x for
+L >= 32.  Inside the full jitted train step XLA wins (332 vs 235 steps/s at
+L=64, B=2048, 256^3 MLP): it fuses the loss contractions into the model
+backward, which the pallas_call boundary prevents.  Hence use_pallas="auto"
+resolves to the XLA path (SURVEY §7: "Pallas must beat XLA to ship" — it
+doesn't e2e); the kernels stay available as a measured option.
 
 Usage: python scripts/bench_pallas.py  (runs on the default JAX device)
 """

@@ -178,3 +178,24 @@ def test_nestedlora_kernel_path_split_batch(rng):
             params, state, jnp.asarray(X), get_op, split_batch=split)
         assert np.isfinite(float(loss))
         assert np.all(np.isfinite(np.asarray(grads["W"])))
+
+
+def test_neuralef_register_norm_exact_calibration(rng):
+    """register_norm sets the normalizer to the exact full-data L2 norms
+    (reference: BatchL2NormalizedFunctions.register_norm, utils.py:70-86)."""
+    from neuralsvd_tpu.methods.neuralef import NeuralEigenfunctions
+
+    L, D, N = 4, 3, 1000
+    W = jnp.asarray(rng.normal(size=(D, L)).astype(np.float32))
+    data = rng.normal(size=(N, D)).astype(np.float32)
+
+    m = NeuralEigenfunctions(lambda p, x: x @ p, L)
+    state = m.init_state(W)
+    state = m.register_norm(W, state, data, batch_size=128)
+    expected = np.sqrt(np.mean((data @ np.asarray(W)) ** 2, axis=0))
+    np.testing.assert_allclose(np.asarray(state["norm_biased"])[0], expected,
+                               rtol=1e-5)
+    # eval_fn uses the calibrated norms: unit mean-square output
+    out = m.eval_fn(W, state)(jnp.asarray(data))
+    np.testing.assert_allclose(np.mean(np.asarray(out) ** 2, axis=0),
+                               np.ones(L), rtol=1e-5)
