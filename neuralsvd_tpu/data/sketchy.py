@@ -120,16 +120,161 @@ class ArrayPairLoader:
             yield self.x[idx], self.y[idx], self.cls[idx]
 
 
-def extract_features_main(config):
-    """Offline VGG16 feature extraction (requires raw Sketchy images and the
-    pretrained sketch/photo VGG checkpoints; torch/torchvision path).
+def split_classes(classes, split: str, eccv_test_classes=None):
+    """Zero-shot class split -> dict(train/test/valid class arrays).
 
-    Mirrors examples/cdk/sketchy/data.py:141-236: runs both towers over the
-    image folders, splits classes by SEM-PCYC (split 1) or ECCV-2018
-    (split 2) conventions, and saves {split}/{phase}_{type}.npz files.
+    ``split`` is "1" / "1_<seed>" (random 80/20 per Shen et al., CVPR 2018,
+    seeded with 0 as in the reference) or "2" / "2_<seed>" (fixed ECCV-2018
+    test classes, passed in via ``eccv_test_classes``).  "<seed>" carves a
+    10% validation subset out of the training classes.
+    Reference: examples/cdk/sketchy/data.py:170-199.
     """
-    raise NotImplementedError(
-        "Raw-image feature extraction needs the Sketchy dataset and "
-        "pretrained VGG16 checkpoints, which are not bundled; precompute "
-        "features with the documented torch recipe and point "
-        "SketchyVGGDataLoader at the npz directory.")
+    classes = sorted(classes)
+    if split.startswith("1"):
+        rng = np.random.RandomState(0)
+        train = rng.choice(classes, int(0.8 * len(classes)), replace=False)
+        test = np.setdiff1d(classes, train)
+    elif split.startswith("2"):
+        if eccv_test_classes is None:
+            raise ValueError("split 2 needs the ECCV-2018 test-class list "
+                             "(test_split_eccv2018.txt)")
+        test = np.asarray(sorted(eccv_test_classes))
+        train = np.setdiff1d(classes, test)
+    else:
+        raise NotImplementedError(split)
+    valid = np.asarray([], dtype=train.dtype)
+    if "_" in split:
+        rng = np.random.RandomState(int(split.split("_")[-1]))
+        valid = rng.choice(train, int(0.1 * len(train)), replace=False)
+        train = np.setdiff1d(train, valid)
+    return {"train": train, "test": test, "valid": valid}
+
+
+def make_vgg_feature_extractor(checkpoint_path=None, state_dict_key=None):
+    """VGG16 trunk + 512-d projection head (torch, offline path).
+
+    Loads the reference-format checkpoint when given (a dict holding the
+    tower's state_dict under ``state_dict_key``).  Reference:
+    examples/cdk/sketchy/data.py:114-129.
+    """
+    import torch
+    from torch import nn
+    from torchvision import models
+
+    base = models.vgg16(weights=None)
+    model = nn.Sequential()
+    model.features = base.features
+    model.classifier = nn.Sequential(
+        *list(base.classifier.children())[:-1], nn.Linear(4096, 512))
+
+    class _Feats(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = model.features
+            self.classifier = model.classifier
+
+        def forward(self, x):
+            h = self.features(x)
+            return self.classifier(h.reshape(h.size(0), -1))
+
+    net = _Feats()
+    if checkpoint_path is not None:
+        ckpt = torch.load(checkpoint_path, map_location="cpu")
+        net.load_state_dict(ckpt[state_dict_key] if state_dict_key else ckpt)
+    net.eval()
+    return net
+
+
+def extract_split_features(model, dataset, class_subset, batch_size: int = 64,
+                           device: str = "cpu"):
+    """Run ``model`` over the images of ``dataset`` whose class is in
+    ``class_subset``; returns (features, classes, paths) numpy arrays.
+
+    ``dataset`` follows the torchvision ImageFolder protocol: ``.classes``,
+    ``.samples`` (path, class_idx) and indexing -> (tensor, class_idx).
+    """
+    import torch
+
+    subset = set(np.asarray(class_subset).tolist())
+    keep = [i for i, (_, ci) in enumerate(dataset.samples)
+            if dataset.classes[ci] in subset]
+    feats, classes, paths = [], [], []
+    model = model.to(device)
+    with torch.no_grad():
+        for s in range(0, len(keep), batch_size):
+            idx = keep[s:s + batch_size]
+            batch = torch.stack([dataset[i][0] for i in idx]).to(device)
+            feats.append(model(batch).cpu().numpy())
+            classes.extend(dataset.classes[dataset.samples[i][1]] for i in idx)
+            paths.extend(dataset.samples[i][0] for i in idx)
+    features = (np.concatenate(feats, axis=0) if feats
+                else np.zeros((0, 512), np.float32))
+    return features, np.asarray(classes), np.asarray(paths)
+
+
+def invert_image(x):
+    """Sketch-domain transform: white-on-black -> black-on-white."""
+    return 1 - x
+
+
+def extract_features_main(root: str, split: str = "1", image_size: int = 224,
+                          batch_size: int = 64, device: str = "cpu",
+                          model_factory=make_vgg_feature_extractor,
+                          dataset_factory=None):
+    """Offline feature extraction: both VGG towers over the Sketchy image
+    folders -> {split}/{phase}_{type}.npz consumed by SketchyVGGDataLoader.
+
+    Expects the reference layout under ``root/data/Sketchy``: image folders
+    ``sketch/tx_000000000000`` and ``extended_photo``, pretrained tower
+    checkpoints under ``pretrained/``, and ``test_split_eccv2018.txt`` for
+    split 2.  ``model_factory``/``dataset_factory`` are injectable for
+    tests.  Reference: examples/cdk/sketchy/data.py:141-236.
+    """
+    path_sketchy = os.path.join(root, "data", "Sketchy")
+    if dataset_factory is None:
+        # torchvision only needed for the raw-image path (not bundled in
+        # the TPU image; tests inject dataset_factory instead)
+        from torchvision import transforms
+        from torchvision.datasets import ImageFolder
+
+        t_sketch = transforms.Compose([
+            transforms.Resize((image_size, image_size)),
+            transforms.ToTensor(), invert_image])
+        t_photo = transforms.Compose([
+            transforms.Resize((image_size, image_size)),
+            transforms.ToTensor()])
+        datasets = {
+            "sketch": ImageFolder(os.path.join(
+                path_sketchy, "sketch", "tx_000000000000"), t_sketch),
+            "photo": ImageFolder(os.path.join(
+                path_sketchy, "extended_photo"), t_photo),
+        }
+        models_ = {
+            "sketch": model_factory(
+                os.path.join(path_sketchy, "pretrained", "vgg16_sketch.pth"),
+                "state_dict_sketch"),
+            "photo": model_factory(
+                os.path.join(path_sketchy, "pretrained", "vgg16_photo.pth"),
+                "state_dict_image"),
+        }
+    else:
+        datasets, models_ = dataset_factory()
+
+    assert set(datasets["sketch"].classes) == set(datasets["photo"].classes)
+    eccv = None
+    if split.startswith("2"):
+        with open(os.path.join(path_sketchy, "test_split_eccv2018.txt")) as fp:
+            eccv = fp.read().splitlines()
+    subsets = split_classes(datasets["sketch"].classes, split, eccv)
+
+    out_dir = os.path.join(root, "data", "SketchyVGG", f"split{split}")
+    os.makedirs(out_dir, exist_ok=True)
+    for data_type in ("sketch", "photo"):
+        for phase in ("train", "test", "valid"):
+            features, classes, paths = extract_split_features(
+                models_[data_type], datasets[data_type], subsets[phase],
+                batch_size=batch_size, device=device)
+            np.savez_compressed(
+                os.path.join(out_dir, f"{phase}_{data_type}.npz"),
+                features=features, classes=classes, paths=paths)
+    return out_dir

@@ -102,3 +102,49 @@ def test_cdk_end_to_end_synthetic(rng, tmp_path):
     assert final_pk > 2 * chance, f"P@K {final_pk} not above chance"
     assert set(trunc_results) == {4, 8, -8}
     assert os.path.exists(os.path.join(tmp_path, "best_stats.npz"))
+
+
+def test_feature_extraction_pipeline(tmp_path, rng):
+    """extract_features_main with injected tiny towers/datasets produces npz
+    files that SketchyVGGDataLoader can consume end-to-end."""
+    import torch
+
+    from neuralsvd_tpu.data.sketchy import (
+        SketchyVGGDataLoader,
+        extract_features_main,
+        split_classes,
+    )
+
+    classes = [f"cls{i:02d}" for i in range(10)]
+
+    class FakeDataset:
+        def __init__(self, kind):
+            self.classes = classes
+            self.samples = [(f"/{kind}/{c}/img{j}.png", ci)
+                            for ci, c in enumerate(classes) for j in range(6)]
+            g = torch.Generator().manual_seed(hash(kind) % (2 ** 31))
+            self.data = torch.randn(len(self.samples), 8, generator=g)
+
+        def __getitem__(self, i):
+            return self.data[i], self.samples[i][1]
+
+    tower = torch.nn.Linear(8, 16)
+
+    def dataset_factory():
+        return ({"sketch": FakeDataset("sketch"), "photo": FakeDataset("photo")},
+                {"sketch": tower, "photo": tower})
+
+    out = extract_features_main(str(tmp_path), split="1_7", batch_size=16,
+                                dataset_factory=dataset_factory)
+    # splits partition the classes: 8 train -> (7 train + ~0-1 valid), 2 test
+    subsets = split_classes(classes, "1_7")
+    assert set(subsets["train"]) | set(subsets["test"]) | set(
+        subsets["valid"]) == set(classes)
+    assert not (set(subsets["train"]) & set(subsets["test"]))
+
+    loader = SketchyVGGDataLoader(4, root_path=str(tmp_path), split="1_7",
+                                  train_or_test="train", seed=0)
+    x, y, cls = next(iter(loader))
+    assert x.shape == (4, 16) and y.shape == (4, 16)
+    assert set(np.asarray(loader.sketch_classes).tolist()) == set(
+        subsets["train"].tolist())
