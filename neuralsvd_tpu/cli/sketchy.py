@@ -48,6 +48,7 @@ def get_args(argv=None):
     p.add_argument("--metric", type=str, default="inner_product",
                    choices=["euclidean", "inner_product"])
     p.add_argument("--n_retrievals", type=int, default=100)
+    p.add_argument("--n_retrievals_to_save", type=int, default=0)
     p.add_argument("--ap_ver", type=int, default=1, choices=[1, 2, 3])
     p.add_argument("--trunc_dims", nargs="*", type=int, default=[])
     p.add_argument("--randperm", action="store_true")
@@ -243,6 +244,12 @@ def run_training(args, train_loader, test_loader, valid_loader, input_dim):
         set_first_mode_const=args.nsvd_const)
     plot_and_save_spectrum({"singvals": spectrum}, orth_x, orth_y,
                            log_dir=args.log_dir, tag="final")
+
+    if args.n_retrievals_to_save > 0:
+        retrieval_test.evaluate(model_x, model_y, ap_ver=args.ap_ver)
+        retrieval_test.save_retrievals(args.log_dir,
+                                       n_queries=args.n_retrievals_to_save,
+                                       tag="_best")
 
     trunc_results = {}
     perm = None

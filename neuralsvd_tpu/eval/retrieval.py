@@ -129,9 +129,9 @@ class Retrieval:
                 zxs, zys = zxs[:, :trunc_dim], zys[:, :trunc_dim]
             else:
                 zxs, zys = zxs[:, trunc_dim:], zys[:, trunc_dim:]
-        rel_K, _ = get_retrievals(zxs, zys, self.loader.sketch_classes,
-                                  self.loader.photo_classes,
-                                  K=self.n_retrievals, metric=self.metric)
+        rel_K, idx_K = get_retrievals(zxs, zys, self.loader.sketch_classes,
+                                      self.loader.photo_classes,
+                                      K=self.n_retrievals, metric=self.metric)
         p_at_k = precision_at_k(rel_K)
         aps = np.zeros(1)
         if return_map_all:
@@ -139,4 +139,36 @@ class Retrieval:
                                         self.loader.photo_classes,
                                         metric=self.metric)
             aps = average_precisions(rel_all, self.n_classes_items, ver=ap_ver)
+        self._last_retrievals = (rel_K, idx_K)
         return p_at_k, aps
+
+    def save_retrievals(self, log_dir: str, n_queries: int = 20,
+                        n_per_query: int = 20, tag: str = ""):
+        """Dump the top retrieved items per query for inspection.
+
+        The reference renders image grids (retrieve.py:126-161); here the
+        pipeline runs on precomputed features, so the equivalent artifact is
+        an npz with query paths/classes, the retrieved gallery paths/classes
+        and the relevance matrix — enough to rebuild the grids offline.
+        Call after :meth:`evaluate`.
+        """
+        import os
+
+        rel_K, idx_K = self._last_retrievals
+        sel = np.arange(min(n_queries, idx_K.shape[0]))
+        k = min(n_per_query, idx_K.shape[1])
+        payload = {
+            "relevances": rel_K[sel, :k],
+            "retrieved_classes": np.asarray(
+                self.loader.photo_classes)[idx_K[sel, :k]],
+            "query_classes": np.asarray(self.loader.sketch_classes)[sel],
+        }
+        if hasattr(self.loader, "photo_paths"):
+            payload["retrieved_paths"] = np.asarray(
+                self.loader.photo_paths)[idx_K[sel, :k]]
+            payload["query_paths"] = np.asarray(
+                self.loader.sketch_paths)[sel]
+        os.makedirs(log_dir, exist_ok=True)
+        out = os.path.join(log_dir, f"retrievals{tag}.npz")
+        np.savez_compressed(out, **payload)
+        return out

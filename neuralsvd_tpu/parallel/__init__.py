@@ -1,13 +1,15 @@
 from neuralsvd_tpu.parallel.sharding import (
     make_mesh,
-    mode_sharded_params,
-    make_sharded_train_step,
     make_shard_map_train_step,
+    make_sharded_train_step,
+    mode_sharded_params,
+    state_shardings,
 )
 
 __all__ = [
     "make_mesh",
     "mode_sharded_params",
+    "state_shardings",
     "make_sharded_train_step",
     "make_shard_map_train_step",
 ]

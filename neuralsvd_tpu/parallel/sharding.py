@@ -63,27 +63,41 @@ def mode_sharded_params(params, mesh: Mesh, tp_axis: str = "tp"):
     return jax.tree.map(spec_for, params)
 
 
-def make_sharded_train_step(step_fn, mesh: Mesh, params_sharding,
-                            dp_axis: str = "dp"):
-    """GSPMD path: jit ``step_fn(train_state, key)`` with annotations.
+def state_shardings(ts, mesh: Mesh, tp_axis: str = "tp"):
+    """Sharding pytree for a full TrainState.
 
-    ``params_sharding`` is the pytree from :func:`mode_sharded_params`; the
-    optimizer/EMA states inherit the same layout, batch tensors created
-    inside the step from the key follow data placement chosen by XLA.
+    Rank-3 leaves — ParallelMLP mode-stacked weights (L, h, d) and their
+    optimizer/EMA moments, which share the shape — shard on the leading mode
+    axis over ``tp_axis``; everything else (scalars, shared-trunk weights,
+    method state) replicates.
     """
-    repl = NamedSharding(mesh, P())
+    def leaf_spec(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim == 3:
+            return NamedSharding(mesh, P(tp_axis, None, None))
+        return NamedSharding(mesh, P())
 
-    def annotate_state(ts):
-        # params / ema / opt leaves follow the params layout where shapes
-        # match; scalars and method state replicate.
-        return ts
+    return jax.tree.map(leaf_spec, ts)
 
-    jitted = jax.jit(step_fn, donate_argnums=(0,))
 
-    def run(ts, key):
-        return jitted(ts, key)
+def make_sharded_train_step(step_fn, mesh: Mesh, ts, tp_axis: str = "tp"):
+    """GSPMD path: jit ``step_fn(train_state, key)`` with real annotations.
 
-    return run
+    Mode-stacked (rank-3) leaves are placed tp-sharded, the rest replicated;
+    in/out shardings pin the layout so XLA inserts the collectives (the
+    (L, L) Gram all-reduces and any mode-axis all-gathers) rather than
+    resharding.  Batch tensors are created inside the step from the PRNG
+    key, so XLA lays them out freely (typically dp-sharded by the Gram
+    contractions); for *explicit* per-device batches use
+    :func:`make_shard_map_train_step`.
+
+    Returns (jitted_step, sharded_train_state).
+    """
+    shardings = state_shardings(ts, mesh, tp_axis)
+    ts = jax.device_put(ts, shardings)
+    jitted = jax.jit(step_fn,
+                     in_shardings=(shardings, NamedSharding(mesh, P())),
+                     out_shardings=(shardings, None))
+    return jitted, ts
 
 
 def make_shard_map_train_step(method, operator, optimizer, sampler,

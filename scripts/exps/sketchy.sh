@@ -31,6 +31,7 @@ args=(
     --neuralsvd.sequential false
 
     --sketchy_split "$SPLIT"
+    --n_retrievals_to_save 20
     --trunc_dims -512 -448 -384 -320 -256 -192 -128 -64 -32 -16 -8 -4 -2 -1 1 2 4 8 16 32 64 128 192 256 320 384 448 512
     --ap_ver 1
 )

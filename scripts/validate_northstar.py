@@ -1,0 +1,127 @@
+"""North-star validation: 2D hydrogen top-16 eigenvalues on TPU.
+
+Trains NestedLoRA on the negated 2D hydrogen Hamiltonian (operator_scale
+100, analytic spectrum 100·Z²/(4(n+1/2)²) for n=0..3 with degeneracies
+1/3/5/7 — ground_truths.Hydrogen2D) and reports per-mode Rayleigh-quotient
+relative errors vs BASELINE.json's target (rel-err ≤ 1e-3).
+
+Evaluation matches the training measure: Rayleigh quotients of the
+importance-conjugated operator on a large held-out batch from the sampling
+distribution equal the Lebesgue eigenvalues (diff_ops importance
+conjugation).  Group-aware comparison: within a degenerate group the
+learned modes are arbitrary rotations, so modes are sorted and compared to
+the sorted analytic spectrum.
+
+Usage: python scripts/validate_northstar.py [num_iters] (default 300000)
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_default_matmul_precision", "float32")
+
+from neuralsvd_tpu.methods.nestedlora import NestedLoRA  # noqa: E402
+from neuralsvd_tpu.models import make_wavefunctions  # noqa: E402
+from neuralsvd_tpu.operators.problems import get_problem  # noqa: E402
+from neuralsvd_tpu.training.optimizers import (  # noqa: E402
+    cosine_annealing,
+    torch_rmsprop,
+)
+from neuralsvd_tpu.training.train_operator import (  # noqa: E402
+    make_scanned_train_step,
+)
+from neuralsvd_tpu.training.train_state import init_train_state  # noqa: E402
+
+NEIGS = 16
+SEQUENTIAL = True
+BATCH = 512
+SCALE = 16.0     # gaussian sampling scale (reference hydrogen.sh)
+LAP_EPS = 0.1    # FD; f32-safe (see verify skill); -1 for exact autodiff
+CHUNK = 1000
+
+
+def importance(x):
+    d = x.shape[-1]
+    return (jnp.exp(-0.5 * jnp.sum((x / SCALE) ** 2, -1, keepdims=True))
+            / (SCALE * np.sqrt(2 * np.pi)) ** d)
+
+
+def main(num_iters=300_000, lap_eps=LAP_EPS):
+    operator, gt, _ = get_problem(
+        problem="sch", potential_type="hydrogen", ndim=2, neigs=NEIGS,
+        laplacian_eps=lap_eps, operator_scale=100.0)
+    init, apply = make_wavefunctions(
+        ndim=2, neigs=NEIGS, mlp_hidden_dims=[128, 128, 128],
+        nonlinearity="softplus", use_fourier_feature=True,
+        fourier_mapping_size=1024, fourier_scale=0.1,
+        apply_boundary=False)
+    params = init(jax.random.key(0))
+    method = NestedLoRA(apply, neigs=NEIGS, sequential=SEQUENTIAL)
+    opt = torch_rmsprop(cosine_annealing(1e-4, num_iters), alpha=0.999)
+
+    def sampler(key):
+        return jax.random.normal(key, (BATCH, 2)) * SCALE
+
+    step_fn = make_scanned_train_step(
+        method, operator, opt, sampler, importance=importance,
+        ema_decay=0.995, steps_per_call=CHUNK)
+    ts = init_train_state(params, opt, method)
+    warm = jax.jit(step_fn)
+    jax.block_until_ready(warm(ts, jax.random.key(1))[1])  # session warmup
+    run = jax.jit(lambda ts, k: step_fn(ts, k))
+
+    t0 = time.time()
+    for i in range(num_iters // CHUNK):
+        ts, losses = run(ts, jax.random.fold_in(jax.random.key(2), i))
+        if (i + 1) % 50 == 0:
+            print(f"iter {(i + 1) * CHUNK}: loss {float(losses[-1]):.4f} "
+                  f"({(i + 1) * CHUNK / (time.time() - t0):.0f} steps/s)",
+                  flush=True)
+    train_time = time.time() - t0
+
+    # eval under the sampling measure with conjugation (EMA params)
+    @jax.jit
+    def accum(params, key):
+        x = jax.random.normal(key, (8192, 2)) * SCALE
+        Tf, f = operator(lambda xx: apply(params, xx), x, importance)
+        cov = jnp.einsum("bl,bm->lm", f, f)
+        quad = jnp.einsum("bl,bm->lm", f, Tf)
+        return cov, quad
+
+    cov = quad = 0.0
+    n_eval = 64
+    for i in range(n_eval):
+        c, q = accum(ts.ema_params, jax.random.fold_in(jax.random.key(3), i))
+        cov, quad = cov + c, quad + q
+    cov, quad = np.asarray(cov), np.asarray(quad)
+    rayleigh = np.sort(np.diag(quad) / np.diag(cov))[::-1]
+    gt_sorted = np.sort(np.asarray(gt))[::-1]
+    rel = np.abs(rayleigh - gt_sorted) / np.abs(gt_sorted)
+    covn = cov / np.sqrt(np.outer(np.diag(cov), np.diag(cov)))
+    max_off = float(np.abs(covn - np.eye(NEIGS)).max())
+
+    print("analytic:", np.round(gt_sorted, 4))
+    print("learned: ", np.round(rayleigh, 4))
+    print("rel-err: ", np.round(rel, 5))
+    print(json.dumps({
+        "metric": "hydrogen2d_L16_eigval_max_rel_err",
+        "value": float(rel.max()),
+        "median_rel_err": float(np.median(rel)),
+        "max_off_diag_corr": max_off,
+        "num_iters": num_iters,
+        "train_steps_per_sec": round(num_iters / train_time, 1),
+        "target": 1e-3,
+    }))
+
+
+if __name__ == "__main__":
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    eps = float(sys.argv[2]) if len(sys.argv) > 2 else LAP_EPS
+    main(iters, eps)

@@ -87,6 +87,7 @@ def test_cdk_end_to_end_synthetic(rng, tmp_path):
         "--batch_size", "64", "--network_dims", "64,16", "--neigs", "16",
         "--optimizer", "adam", "--base_lr", "1e-3", "--mu", "4.0",
         "--n_retrievals", "10", "--return_map_all",
+        "--n_retrievals_to_save", "5",
         "--trunc_dims", "4", "8", "-8",
     ])
     params, trunc_results = run_training(args, train, test, valid,
@@ -102,6 +103,7 @@ def test_cdk_end_to_end_synthetic(rng, tmp_path):
     assert final_pk > 2 * chance, f"P@K {final_pk} not above chance"
     assert set(trunc_results) == {4, 8, -8}
     assert os.path.exists(os.path.join(tmp_path, "best_stats.npz"))
+    assert os.path.exists(os.path.join(tmp_path, "retrievals_best.npz"))
 
 
 def test_feature_extraction_pipeline(tmp_path, rng):
