@@ -66,16 +66,16 @@ def bench_jax():
     warm = jax.jit(step_fn)
     jax.block_until_ready(warm(ts, key)[1])
     run = jax.jit(lambda ts, key: step_fn(ts, key))  # fresh cache entry
-    ts, losses = run(ts, key)  # compile (good binary) + warmup chunk
-    jax.block_until_ready(losses)
+    ts, metrics = run(ts, key)  # compile (good binary) + warmup chunk
+    jax.block_until_ready(metrics)
     # best of 3 chunks: the tunnel adds sporadic per-call latency spikes
     best = 0.0
     for i in range(3):
         t0 = time.perf_counter()
-        ts, losses = run(ts, jax.random.key(2 + i))
-        jax.block_until_ready(losses)
+        ts, metrics = run(ts, jax.random.key(2 + i))
+        jax.block_until_ready(metrics)
         best = max(best, TIMED_STEPS / (time.perf_counter() - t0))
-    assert np.isfinite(float(losses[-1]))
+    assert np.isfinite(float(metrics["loss"][-1]))
     return best
 
 

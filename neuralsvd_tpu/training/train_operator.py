@@ -44,18 +44,40 @@ def make_train_step(
     importance: Optional[Callable] = None,
     ema_decay: float = 0.99,
     monitor: bool = False,
+    grad_clip: float = 0.0,
 ):
-    """Build the fused train step: (TrainState, key) -> (TrainState, metrics)."""
+    """Build the fused train step: (TrainState, key) -> (TrainState, metrics).
+
+    Non-finite losses/gradients skip the whole update (the TPU-native
+    equivalent of the reference's AMP GradScaler inf/nan step skipping,
+    SURVEY §5.3; metrics["skipped"] flags it).  ``grad_clip`` > 0 clips the
+    global gradient norm — near-singular potentials (Coulomb −Z/r under
+    Gaussian sampling) occasionally produce huge local energies whose
+    gradient spikes destabilize long runs.
+    """
 
     def step(ts: TrainState, key) -> tuple:
         x = sampler(key)
         x = x.reshape(x.shape[0], -1)
         loss, grads, aux, method_state = method.loss_and_grad(
             ts.params, ts.method_state, x, operator, importance)
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        if grad_clip > 0:
+            scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
-        params = optax.apply_updates(ts.params, updates)
+        new_params = optax.apply_updates(ts.params, updates)
+        params = jax.tree.map(lambda n, o: jnp.where(finite, n, o),
+                              new_params, ts.params)
+        opt_state = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o) if hasattr(n, "ndim") else n,
+            opt_state, ts.opt_state)
         ema_params = ema_update(ts.ema_params, params, ema_decay)
-        metrics = {"loss": loss}
+        metrics = {"loss": loss, "gnorm": gnorm,
+                   "skipped": jnp.logical_not(finite)}
         if monitor:
             f, Tf = aux["f"], aux["Tf"]
             quadforms = f * Tf  # (B, L) local energies
@@ -72,7 +94,8 @@ def make_train_step(
 
 def make_scanned_train_step(method, operator, optimizer, sampler,
                             importance=None, ema_decay: float = 0.99,
-                            steps_per_call: int = 100):
+                            steps_per_call: int = 100,
+                            grad_clip: float = 0.0):
     """Device-resident multi-step: lax.scan over the fused train step.
 
     Amortizes host dispatch (critical on high-latency links) and lets XLA
@@ -81,16 +104,16 @@ def make_scanned_train_step(method, operator, optimizer, sampler,
     """
     step = make_train_step(method, operator, optimizer, sampler,
                            importance=importance, ema_decay=ema_decay,
-                           monitor=False)
+                           monitor=False, grad_clip=grad_clip)
 
     def run(ts: TrainState, base_key):
         def body(carry, i):
             new_ts, metrics = step(carry, jax.random.fold_in(base_key, i))
-            return new_ts, metrics["loss"]
+            return new_ts, metrics
 
         return jax.lax.scan(body, ts, jnp.arange(steps_per_call))
 
-    return run
+    return run  # -> (TrainState, {loss/gnorm/skipped: (steps_per_call,)})
 
 
 def _erf_percentiles():

@@ -43,7 +43,8 @@ NEIGS = 16
 SEQUENTIAL = True
 BATCH = 512
 SCALE = 16.0     # gaussian sampling scale (reference hydrogen.sh)
-LAP_EPS = 0.1    # FD; f32-safe (see verify skill); -1 for exact autodiff
+LAP_EPS = 0.1
+GRAD_CLIP = 10.0    # FD; f32-safe (see verify skill); -1 for exact autodiff
 CHUNK = 1000
 
 
@@ -59,7 +60,8 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         laplacian_eps=lap_eps, operator_scale=100.0)
     init, apply = make_wavefunctions(
         ndim=2, neigs=NEIGS, mlp_hidden_dims=[128, 128, 128],
-        nonlinearity="softplus", use_fourier_feature=True,
+        nonlinearity="softplus", parallel=True,
+        use_fourier_feature=True,
         fourier_mapping_size=1024, fourier_scale=0.1,
         apply_boundary=False)
     params = init(jax.random.key(0))
@@ -71,17 +73,18 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
 
     step_fn = make_scanned_train_step(
         method, operator, opt, sampler, importance=importance,
-        ema_decay=0.995, steps_per_call=CHUNK)
+        ema_decay=0.995, steps_per_call=CHUNK, grad_clip=GRAD_CLIP)
     ts = init_train_state(params, opt, method)
-    warm = jax.jit(step_fn)
-    jax.block_until_ready(warm(ts, jax.random.key(1))[1])  # session warmup
-    run = jax.jit(lambda ts, k: step_fn(ts, k))
+    run = jax.jit(step_fn)
 
     t0 = time.time()
     for i in range(num_iters // CHUNK):
-        ts, losses = run(ts, jax.random.fold_in(jax.random.key(2), i))
+        ts, m = run(ts, jax.random.fold_in(jax.random.key(2), i))
         if (i + 1) % 50 == 0:
-            print(f"iter {(i + 1) * CHUNK}: loss {float(losses[-1]):.4f} "
+            print(f"iter {(i + 1) * CHUNK}: loss {float(m['loss'][-1]):.4f} "
+                  f"gnorm_max {float(m['gnorm'].max()):.3g} "
+                  f"med {float(jnp.median(m['gnorm'])):.3g} "
+                  f"skips {int(m['skipped'].sum())} "
                   f"({(i + 1) * CHUNK / (time.time() - t0):.0f} steps/s)",
                   flush=True)
     train_time = time.time() - t0
