@@ -35,10 +35,16 @@ def load_sketchy_features(root_path: str, split, train_or_test: str,
 
 
 class SketchyVGGDataLoader:
-    """Iterator over class-balanced (sketch, photo, class) batches."""
+    """Iterator over class-balanced (sketch, photo, class) batches.
+
+    Pair selection runs in the native C++ sampler (data/native.py) when a
+    compiler is available — the per-batch Python loop is the host-side
+    bottleneck at batch 4096 — with a pure-Python fallback (note: the two
+    paths draw from different RNG streams)."""
 
     def __init__(self, batch_size: int, root_path: str = "..", split=1,
-                 train_or_test: str = "train", seed: int = 0):
+                 train_or_test: str = "train", seed: int = 0,
+                 use_native: bool = True):
         self.batch_size = batch_size
         self.root_path = root_path
         self.split = split
@@ -58,6 +64,16 @@ class SketchyVGGDataLoader:
         self.cls_to_num = {c: i for i, c in enumerate(self.classes)}
         self.max_steps = int(np.ceil(self.sketch_features.shape[0]
                                      / batch_size))
+        self._native = None
+        self._counter = 0
+        if use_native:
+            try:
+                from neuralsvd_tpu.data.native import NativePairSampler
+                self._native = NativePairSampler(
+                    self.sketch_idx_per_class, self.photo_idx_per_class,
+                    self.classes, seed=seed)
+            except (RuntimeError, OSError):
+                self._native = None
 
     def __len__(self):
         return self.sketch_features.shape[0]
@@ -76,6 +92,9 @@ class SketchyVGGDataLoader:
                 cls)
 
     def _pick_random_pairs(self):
+        if self._native is not None:
+            self._counter += 1
+            return self._native.sample(self.batch_size, self._counter)
         classes = list(self.classes)
         self._rng.shuffle(classes)
         sketch_idx, photo_idx, cls_nums = [], [], []
