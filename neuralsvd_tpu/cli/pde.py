@@ -90,7 +90,8 @@ def main(cfg: PDEConfig):
     optimizer = build_optimizer(
         cfg.optimizer, cfg.lr, momentum=cfg.momentum,
         rmsprop_decay=cfg.rmsprop_decay, adam_eps=cfg.adam_eps,
-        lr_schedule=lr_schedule)
+        lr_schedule=lr_schedule,
+        spike_reject_factor=cfg.spike_reject_factor)
 
     logger = CSVLogger(log_dir, ["iter", "train_loss", "time",
                                  "steps_per_sec"])
@@ -131,7 +132,8 @@ def main(cfg: PDEConfig):
         spinx_refresh=spinx_refresh,
         profile_dir=(os.path.join(log_dir, "profile") if cfg.profile
                      else None),
-        profile_start=cfg.profile_start, profile_steps=cfg.profile_steps)
+        profile_start=cfg.profile_start, profile_steps=cfg.profile_steps,
+        grad_clip=cfg.grad_clip)
 
     np.savez(os.path.join(log_dir, "stats.npz"),
              all_eigvals=np.asarray(all_eigvals),

@@ -82,6 +82,51 @@ def warmup_cosine_schedule(base_lr: float, warmup_lr: float, final_lr: float,
     return schedule
 
 
+class RejectSpikesState(NamedTuple):
+    gnorm_ema: jnp.ndarray
+    count: jnp.ndarray
+    rejected: jnp.ndarray
+
+
+def reject_spikes(factor: float = 25.0, decay: float = 0.99,
+                  warmup: int = 100) -> optax.GradientTransformation:
+    """Zero out gradient updates whose global norm spikes above
+    ``factor`` x its running EMA.
+
+    Failure-detection-that-acts: near-singular operators (Coulomb −Z/r
+    under Gaussian sampling) produce rare huge-gradient batches that wreck
+    long runs even when finite (the reference's EWM monitor only *reports*
+    blow-ups, ewm.py:94-107; its AMP GradScaler skips only on fp16
+    overflow).  Chain BEFORE the per-parameter normalizer (rmsprop/adam) so
+    spikes neither take a huge step nor pollute the second-moment EMA.
+    The first ``warmup`` steps always pass (EMA calibration); rejected
+    steps do not update the EMA.  State counts rejections for logging.
+    """
+
+    def init(params):
+        del params
+        return RejectSpikesState(jnp.zeros(()), jnp.zeros((), jnp.int32),
+                                 jnp.zeros((), jnp.int32))
+
+    def update(updates, state, params=None):
+        del params
+        gnorm = optax.global_norm(updates)
+        in_warmup = state.count < warmup
+        ok = in_warmup | (gnorm <= factor * state.gnorm_ema)
+        ok = ok & jnp.isfinite(gnorm)
+        ema = jnp.where(
+            state.count == 0, gnorm,
+            jnp.where(ok, decay * state.gnorm_ema + (1 - decay) * gnorm,
+                      state.gnorm_ema))
+        updates = jax.tree.map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates)
+        return updates, RejectSpikesState(
+            ema, state.count + 1,
+            state.rejected + jnp.where(ok, 0, 1).astype(jnp.int32))
+
+    return optax.GradientTransformation(init, update)
+
+
 def lars(learning_rate, weight_decay: float = 0.0, momentum: float = 0.9,
          trust_coefficient: float = 0.001):
     """Layer-wise adaptive rate scaling (reference: cdk/optimizers.py:92-213)."""
@@ -95,9 +140,23 @@ def lars(learning_rate, weight_decay: float = 0.0, momentum: float = 0.9,
 
 def build_optimizer(name: str, learning_rate, momentum: float = 0.0,
                     weight_decay: float = 0.0, rmsprop_decay: float = 0.999,
-                    adam_eps: float = 1e-7,
-                    lr_schedule=None) -> optax.GradientTransformation:
-    """Factory mirroring examples/utils.py:48-72 and cdk/optimizers.py:14-44."""
+                    adam_eps: float = 1e-7, lr_schedule=None,
+                    spike_reject_factor: float = 0.0,
+                    ) -> optax.GradientTransformation:
+    """Factory mirroring examples/utils.py:48-72 and cdk/optimizers.py:14-44.
+
+    ``spike_reject_factor`` > 0 prepends :func:`reject_spikes` (gradient
+    -norm blow-up rejection) to the chosen optimizer.
+    """
+    base = _build_base(name, learning_rate, momentum, weight_decay,
+                       rmsprop_decay, adam_eps, lr_schedule)
+    if spike_reject_factor > 0:
+        return optax.chain(reject_spikes(spike_reject_factor), base)
+    return base
+
+
+def _build_base(name, learning_rate, momentum, weight_decay, rmsprop_decay,
+                adam_eps, lr_schedule) -> optax.GradientTransformation:
     lr = lr_schedule if lr_schedule is not None else learning_rate
     if name == "rmsprop":
         return torch_rmsprop(lr, alpha=rmsprop_decay, eps=1e-10,

@@ -162,6 +162,7 @@ def train_operator(
     profile_dir: Optional[str] = None,
     profile_start: int = 100,
     profile_steps: int = 20,
+    grad_clip: float = 0.0,
 ):
     """Host driver: runs the jitted step, periodic EMA eval + checkpointing.
 
@@ -177,7 +178,8 @@ def train_operator(
 
     step_fn = jax.jit(make_train_step(
         method, operator, optimizer, sampler,
-        importance=importance_train, ema_decay=ema_decay, monitor=monitor))
+        importance=importance_train, ema_decay=ema_decay, monitor=monitor,
+        grad_clip=grad_clip))
 
     ts = init_train_state(init_params, optimizer, method)
     base_key = jax.random.key(seed)

@@ -60,6 +60,8 @@ class PDEConfig:
     adam_eps: float = 1e-7
     use_lr_scheduler: bool = False
     ema_decay: float = 0.99
+    grad_clip: float = 0.0
+    spike_reject_factor: float = 0.0  # >0: reject gnorm > k x EMA steps
     # problem
     problem: str = "sch"          # sch | fp
     ndim: int = 2

@@ -43,8 +43,8 @@ NEIGS = 16
 SEQUENTIAL = True
 BATCH = 512
 SCALE = 16.0     # gaussian sampling scale (reference hydrogen.sh)
-LAP_EPS = 0.1
-GRAD_CLIP = 10.0    # FD; f32-safe (see verify skill); -1 for exact autodiff
+LAP_EPS = 0.1    # FD; f32-safe (see verify skill); <= 0 for exact autodiff
+GRAD_CLIP = 0.0  # skip-only; clipping at the wrong scale destroys training
 CHUNK = 1000
 
 
@@ -98,25 +98,42 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         quad = jnp.einsum("bl,bm->lm", f, Tf)
         return cov, quad
 
-    cov = quad = 0.0
-    n_eval = 64
-    for i in range(n_eval):
-        c, q = accum(ts.ema_params, jax.random.fold_in(jax.random.key(3), i))
-        cov, quad = cov + c, quad + q
-    cov, quad = np.asarray(cov), np.asarray(quad)
-    rayleigh = np.sort(np.diag(quad) / np.diag(cov))[::-1]
+    from scipy.linalg import eigh as scipy_eigh
+
     gt_sorted = np.sort(np.asarray(gt))[::-1]
-    rel = np.abs(rayleigh - gt_sorted) / np.abs(gt_sorted)
-    covn = cov / np.sqrt(np.outer(np.diag(cov), np.diag(cov)))
-    max_off = float(np.abs(covn - np.eye(NEIGS)).max())
+
+    def spectrum_of(params, tag):
+        cov = quad = 0.0
+        for i in range(64):
+            c, q = accum(params, jax.random.fold_in(jax.random.key(3), i))
+            cov, quad = cov + c, quad + q
+        cov, quad = np.asarray(cov), np.asarray(quad)
+        rayleigh = np.sort(np.diag(quad) / np.diag(cov))[::-1]
+        rel = np.abs(rayleigh - gt_sorted) / np.abs(gt_sorted)
+        covn = cov / np.sqrt(np.outer(np.diag(cov), np.diag(cov)))
+        max_off = float(np.abs(covn - np.eye(NEIGS)).max())
+        # post-hoc orthogonalization: whiten cov, diagonalize quad; exact
+        # if span(f) contains the top-L eigenspace even when modes mix
+        w_eigvals, w_vecs = scipy_eigh(cov)
+        wh = (w_vecs @ np.diag(1 / np.sqrt(np.maximum(w_eigvals, 1e-12)))
+              @ w_vecs.T)
+        aligned = np.sort(scipy_eigh(wh @ ((quad + quad.T) / 2) @ wh)[0])[::-1]
+        rel_aligned = np.abs(aligned - gt_sorted) / np.abs(gt_sorted)
+        print(f"[{tag}] learned: ", np.round(rayleigh, 4))
+        print(f"[{tag}] rel-err: ", np.round(rel, 5))
+        print(f"[{tag}] aligned: ", np.round(aligned, 4))
+        print(f"[{tag}] rel-al:  ", np.round(rel_aligned, 5))
+        print(f"[{tag}] max_off_corr {max_off:.4f}")
+        return rel, rel_aligned, max_off
 
     print("analytic:", np.round(gt_sorted, 4))
-    print("learned: ", np.round(rayleigh, 4))
-    print("rel-err: ", np.round(rel, 5))
+    spectrum_of(ts.params, "raw")
+    rel, rel_aligned, max_off = spectrum_of(ts.ema_params, "ema")
     print(json.dumps({
         "metric": "hydrogen2d_L16_eigval_max_rel_err",
         "value": float(rel.max()),
         "median_rel_err": float(np.median(rel)),
+        "max_rel_err_aligned": float(rel_aligned.max()),
         "max_off_diag_corr": max_off,
         "num_iters": num_iters,
         "train_steps_per_sec": round(num_iters / train_time, 1),

@@ -156,3 +156,34 @@ def test_train_operator_end_to_end_kernel(rng):
     # RBF kernel operator is PSD: Rayleigh quotients must be positive
     assert np.all(all_eigvals[-1] > 0)
     assert int(ts.step) == 300
+
+
+def test_reject_spikes_zeroes_outlier_updates():
+    """reject_spikes passes normal gradients, zeroes spikes, keeps the EMA
+    uncontaminated, and counts rejections."""
+    import optax
+    from neuralsvd_tpu.training.optimizers import reject_spikes
+
+    tx = reject_spikes(factor=10.0, decay=0.9, warmup=5)
+    p = {"w": jnp.zeros(4)}
+    state = tx.init(p)
+    g_norm = {"w": jnp.ones(4)}          # gnorm = 2
+    g_spike = {"w": 1e6 * jnp.ones(4)}
+
+    for _ in range(8):  # past warmup, EMA ~ 2
+        u, state = tx.update(g_norm, state)
+    np.testing.assert_allclose(u["w"], g_norm["w"])
+    ema_before = float(state.gnorm_ema)
+
+    u, state = tx.update(g_spike, state)
+    np.testing.assert_allclose(u["w"], 0.0)           # rejected
+    assert float(state.gnorm_ema) == ema_before       # EMA untouched
+    assert int(state.rejected) == 1
+
+    u, state = tx.update(g_norm, state)               # normal flows again
+    np.testing.assert_allclose(u["w"], g_norm["w"])
+
+    # non-finite also rejected
+    u, state = tx.update({"w": jnp.full(4, jnp.nan)}, state)
+    np.testing.assert_allclose(u["w"], 0.0)
+    assert int(state.rejected) == 2
