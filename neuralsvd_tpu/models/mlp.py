@@ -41,7 +41,8 @@ def get_activation(nonlinearity: str) -> Callable[[jax.Array], jax.Array]:
         slope = float(nonlinearity.replace("lrelu", ""))
         return lambda x: jax.nn.leaky_relu(x, negative_slope=slope)
     if nonlinearity.startswith("elu"):
-        alpha = float(nonlinearity.replace("elu", ""))
+        suffix = nonlinearity.replace("elu", "")
+        alpha = float(suffix) if suffix else 1.0
         return lambda x: jax.nn.elu(x, alpha=alpha)
     if nonlinearity == "tanh":
         return jnp.tanh

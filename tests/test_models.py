@@ -1,0 +1,132 @@
+"""Model zoo: ParallelMLP parity (incl. multidim outputs), activations,
+Fourier features, boundary masks, wavefunction assembly, two-tower nets."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralsvd_tpu.models import make_wavefunctions
+from neuralsvd_tpu.models.fourier import make_fourier_features
+from neuralsvd_tpu.models.mlp import (
+    get_activation,
+    make_mlp,
+    make_parallel_mlp,
+    parse_dims,
+)
+from neuralsvd_tpu.models.two_tower import make_hetero_network, normalize_embedding
+from neuralsvd_tpu.models.wavefunctions import dirichlet_box_mask
+
+
+def test_parallel_mlp_equals_independent_mlps(rng):
+    """The batched-einsum ParallelMLP computes exactly L independent MLPs
+    (reference semantics: examples/models/mlp.py:167-221)."""
+    L, D, B = 3, 4, 16
+    init, apply = make_parallel_mlp(D, [8, 8], num_copies=L,
+                                    nonlinearity="tanh", bias=True)
+    params = init(jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    out = apply(params, x)
+    assert out.shape == (B, L)
+    for l in range(L):
+        h = x
+        for i, (w, b) in enumerate(zip(params["ws"], params["bs"])):
+            h = h @ np.asarray(w[l]).T + np.asarray(b[l])[:, 0]
+            if i < len(params["ws"]) - 1:
+                h = np.tanh(h)
+        np.testing.assert_allclose(out[:, l], h[:, 0], rtol=1e-5, atol=1e-6)
+
+
+def test_parallel_mlp_multidim_outputs(rng):
+    """output_dim > 1 gives (B, L, O) — the reference's MultidimParallelMLP
+    capability (examples/models/mlp.py:224-297) in the same function."""
+    init, apply = make_parallel_mlp(3, [8], num_copies=4, output_dim=5,
+                                    nonlinearity="relu")
+    params = init(jax.random.key(0))
+    out = apply(params, jnp.ones((7, 3)))
+    assert out.shape == (7, 4, 5)
+
+
+def test_parallel_mlp_debug_init_deterministic():
+    init, _ = make_parallel_mlp(2, [4], num_copies=3, debug=True)
+    p1, p2 = init(jax.random.key(0)), init(jax.random.key(99))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(a, b)
+        assert float(jnp.unique(a)[0]) == pytest.approx(0.1)
+
+
+@pytest.mark.parametrize("name", ["relu", "lrelu0.2", "elu", "elu0.5", "tanh",
+                                  "erf", "softplus", "sin_and_cos", "siren"])
+def test_activations_finite(name):
+    act = get_activation(name)
+    x = jnp.linspace(-3, 3, 32).reshape(4, 8)
+    assert bool(jnp.all(jnp.isfinite(act(x))))
+
+
+def test_fourier_features_shapes_and_determinism():
+    init, apply = make_fourier_features(input_dim=2, mapping_size=16,
+                                        scale=0.5, deterministic=False,
+                                        append_raw=True, seed=3)
+    p = init(jax.random.key(3))
+    x = jnp.ones((5, 2))
+    out = apply(p, x)
+    assert out.shape == (5, apply.feature_dim)
+    assert apply.feature_dim == 2 * 16 + 2  # sin+cos + raw append
+    init2, apply2 = make_fourier_features(input_dim=2, mapping_size=16,
+                                          scale=0.5, deterministic=False,
+                                          append_raw=True, seed=3)
+    np.testing.assert_array_equal(out, apply2(init2(jax.random.key(3)), x))
+
+
+def test_dirichlet_box_mask_vanishes_on_boundary():
+    lim = 2.0
+    inside = jnp.asarray([[0.0, 0.0]])
+    edge = jnp.asarray([[lim, 0.0], [0.0, -lim]])
+    for mode in ("dir_box_sqrt", "dir_box_exp"):
+        m_in = np.asarray(dirichlet_box_mask(inside, lim, mode)).ravel()
+        m_edge = np.asarray(dirichlet_box_mask(edge, lim, mode)).ravel()
+        assert m_in[0] > 0
+        np.testing.assert_allclose(m_edge, 0.0, atol=1e-6)
+
+
+def test_wavefunctions_apply_boundary():
+    init, apply = make_wavefunctions(ndim=2, neigs=3, mlp_hidden_dims=[8],
+                                     nonlinearity="softplus",
+                                     use_fourier_feature=False,
+                                     apply_boundary=True,
+                                     boundary_mode="dir_box_sqrt", lim=1.0)
+    params = init(jax.random.key(0))
+    on_edge = apply(params, jnp.asarray([[1.0, 0.3]]))
+    np.testing.assert_allclose(np.asarray(on_edge), 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["l2_ball", "l2_sphere", "clip", "tanh"])
+def test_normalize_embedding_modes(rng, mode):
+    z = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)) * 5
+    r = 2.0
+    out = np.asarray(normalize_embedding(z, r, mode))
+    norms = np.linalg.norm(out, axis=1)
+    if mode == "l2_sphere":
+        np.testing.assert_allclose(norms, r, rtol=1e-5)
+    elif mode == "l2_ball":
+        assert (norms <= r * (1 + 1e-5)).all()
+    else:  # clip/tanh: elementwise bounded by r
+        assert (np.abs(out) <= r).all()
+
+
+def test_hetero_network_two_towers_independent(rng):
+    init, apply, apply_single = make_hetero_network(
+        input_dim=8, network_dims=[16, 4], nonlinearity="relu",
+        mu=4.0, regularize_mode="l2_ball")
+    params = init(jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32))
+    fx, gy = apply(params, x, y)
+    assert fx.shape == gy.shape == (6, 4)
+    # towers have separate weights: swapping inputs changes outputs
+    fx2, gy2 = apply(params, y, x)
+    assert np.abs(np.asarray(fx) - np.asarray(gy2)).max() > 1e-6
+
+
+def test_parse_dims():
+    assert parse_dims("128,128,64") == [128, 128, 64]
+    assert parse_dims("32") == [32]
