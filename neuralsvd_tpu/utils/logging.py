@@ -24,3 +24,24 @@ class CSVLogger:
 
     def close(self):
         self._file.close()
+
+
+class MetricsLogger:
+    """Append-only JSONL scalar logger (the TPU build's replacement for the
+    reference's tensorboardX SummaryWriter, tools/logger.py — no TF
+    dependency; one line per event: {"step", "tag", "value"})."""
+
+    def __init__(self, log_dir: str, name: str = "metrics.jsonl"):
+        import os
+        os.makedirs(log_dir, exist_ok=True)
+        self._fh = open(os.path.join(log_dir, name), "a")
+
+    def log(self, step: int, **scalars):
+        import json
+        for tag, value in scalars.items():
+            self._fh.write(json.dumps(
+                {"step": int(step), "tag": tag, "value": float(value)}) + "\n")
+        self._fh.flush()
+
+    def close(self):
+        self._fh.close()

@@ -132,3 +132,43 @@ def plot_hist_ratios(rs_joint, rs_indep, log_dir: str, tag: str = "",
     os.makedirs(log_dir, exist_ok=True)
     fig.savefig(os.path.join(log_dir, f"ratios_{tag}.png"))
     plt.close(fig)
+
+
+class Plotter:
+    """Accumulate named scalar series and render them to one PNG grid
+    (reference: tools/plotter.py — matplotlib accumulation plotter)."""
+
+    def __init__(self):
+        self.series = {}
+
+    def update(self, step: int, **scalars):
+        for name, value in scalars.items():
+            self.series.setdefault(name, ([], []))
+            xs, ys = self.series[name]
+            xs.append(step)
+            ys.append(float(value))
+
+    def save(self, path: str):
+        import math
+        import os
+
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        n = max(len(self.series), 1)
+        cols = min(3, n)
+        rows = math.ceil(n / cols)
+        fig, axes = plt.subplots(rows, cols, figsize=(4 * cols, 3 * rows),
+                                 squeeze=False)
+        for ax, (name, (xs, ys)) in zip(axes.ravel(), self.series.items()):
+            ax.plot(xs, ys)
+            ax.set_title(name)
+            ax.grid(alpha=0.3)
+        for ax in axes.ravel()[len(self.series):]:
+            ax.axis("off")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fig.tight_layout()
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        return path
