@@ -1,0 +1,127 @@
+"""Spectrum estimation (importance reweighting, post-alignment),
+checkpoint roundtrips, and the experiment store."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralsvd_tpu.methods.spectrum import (
+    compute_spectrum_evd,
+    compute_spectrum_svd,
+    post_alignment,
+)
+from neuralsvd_tpu.training.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from neuralsvd_tpu.utils.store import (
+    ExperimentLogReader,
+    ExperimentLogWriter,
+    RunReader,
+    mark_done,
+)
+
+
+def test_spectrum_importance_reweighting_matches_target_measure(rng):
+    """Accumulating with sqrt(w_train/w_val) reweighting over val batches
+    equals the train-measure expectation E_train[phi phi^T]
+    (reference: methods/spectrum.py:17-26,56-67)."""
+    L, N = 3, 40000
+    W = rng.normal(size=(2, L)).astype(np.float32)
+
+    def f(x):
+        return jnp.asarray(x) @ jnp.asarray(W)
+
+    def operator(model, x, importance=None):
+        fs = model(x)
+        return 2.0 * fs, fs  # T = 2·I
+
+    # val measure: uniform on [-2, 2]^2; train measure: N(0, 0.5^2 I)
+    xs = rng.uniform(-2, 2, size=(N, 2)).astype(np.float32)
+
+    def imp_train(x):
+        return (jnp.exp(-0.5 * jnp.sum((x / 0.5) ** 2, -1, keepdims=True))
+                / (0.5 ** 2 * 2 * np.pi))
+
+    def imp_val(x):
+        return jnp.full((x.shape[0], 1), 1.0 / 16.0)
+
+    out = compute_spectrum_evd(
+        f, (xs[i:i + 8192] for i in range(0, N, 8192)), operator,
+        importance_train=imp_train, importance_val=imp_val)
+    # direct Monte-Carlo under the TRAIN measure
+    xt = (0.5 * rng.normal(size=(400000, 2))).astype(np.float32)
+    ft = xt @ W
+    cov_target = ft.T @ ft / len(ft)
+    np.testing.assert_allclose(out["cov"], cov_target, rtol=0.08, atol=0.01)
+    np.testing.assert_allclose(out["eigvals"], 2.0 * np.ones(L), rtol=1e-4)
+
+
+def test_post_alignment_recovers_spectrum_from_mixed_modes(rng):
+    """Whiten-then-diagonalize recovers the operator spectrum when the
+    learned modes are an arbitrary invertible mixture of eigenfunctions."""
+    L, N = 4, 100000
+    lam = np.array([3.0, 2.0, 1.0, 0.5])
+    # phi = psi @ A with psi orthonormal columns under the empirical measure
+    psi = np.linalg.qr(rng.normal(size=(N, L)))[0] * np.sqrt(N)
+    A = rng.normal(size=(L, L))
+    phi = (psi @ A).astype(np.float32)
+    Tphi = (psi * lam) @ A  # T psi_i = lam_i psi_i
+    cov = phi.T @ phi / N
+    quad = phi.T @ Tphi / N
+    _, aligned, _ = post_alignment(phi, cov, quad)
+    # post_alignment returns sqrt(|eigvals|) (reference convention for the
+    # SVD use-case); square to compare against lam
+    np.testing.assert_allclose(np.sort(aligned ** 2)[::-1], lam, rtol=5e-3)
+
+
+def test_compute_spectrum_svd_orthogonality(rng):
+    L, B = 3, 8192
+
+    def apply_fn(x, y):
+        return jnp.asarray(x)[:, :L], jnp.asarray(y)[:, :L]
+
+    xs = rng.normal(size=(4 * B, L)).astype(np.float32)
+    ys = rng.normal(size=(4 * B, L)).astype(np.float32)
+    loader = ((xs[i:i + B], ys[i:i + B]) for i in range(0, len(xs), B))
+    spectrum, orth_x, orth_y = compute_spectrum_svd(apply_fn, loader)
+    np.testing.assert_allclose(orth_x, np.eye(L), atol=0.05)
+    np.testing.assert_allclose(spectrum, np.ones(L), atol=0.05)
+
+
+def test_checkpoint_roundtrip_and_latest(tmp_path, rng):
+    state = {"params": {"w": rng.normal(size=(3, 3)).astype(np.float32)},
+             "step": np.asarray(7)}
+    for step in (100, 200):
+        save_checkpoint(os.path.join(tmp_path, f"ckpt_{step}"), state)
+    latest = latest_checkpoint(str(tmp_path))
+    assert latest.endswith("ckpt_200")
+    restored = load_checkpoint(latest)
+    np.testing.assert_array_equal(restored["params"]["w"], state["params"]["w"])
+
+
+def test_experiment_store_roundtrip(tmp_path, rng):
+    run_dir = os.path.join(tmp_path, "runs", "exp1")
+    w = ExperimentLogWriter(run_dir)
+    w.save_args({"lr": 1e-3, "neigs": 4, "nested": {"step": 1}})
+    w.init_data_dict("train", ["iter", "loss"])
+    for i in range(5):
+        w.append("train", {"iter": i, "loss": 1.0 / (i + 1)})
+    w.save_checkpoint({"w": np.ones(3)}, step=50)
+    w.close()
+
+    r = RunReader(run_dir)
+    assert r.args["lr"] == 1e-3
+    rows = r.data("train")
+    assert len(rows) == 5 and float(rows[-1]["loss"]) == 0.2
+    assert r.latest_step() == 50
+
+    reader = ExperimentLogReader(os.path.join(tmp_path, "runs"))
+    runs = reader.runs()
+    assert len(runs) == 1
+    # not marked done -> resume_killed finds it
+    assert len(reader.resume_killed()) == 1
+    mark_done(run_dir)
+    assert len(reader.resume_killed()) == 0
