@@ -199,3 +199,34 @@ def test_neuralef_register_norm_exact_calibration(rng):
     out = m.eval_fn(W, state)(jnp.asarray(data))
     np.testing.assert_allclose(np.mean(np.asarray(out) ** 2, axis=0),
                                np.ones(L), rtol=1e-5)
+
+
+def test_nystrom_recovers_kernel_spectrum(rng, tmp_path):
+    """Nystrom on an exactly low-rank kernel recovers eigvals and the
+    out-of-sample extension reproduces orthonormal eigenfunctions
+    (reference: methods/nystrom.py)."""
+    from neuralsvd_tpu.methods.nystrom import Nystrom, run_nystrom
+
+    n, L = 3000, 3
+    lam = np.array([2.0, 1.0, 0.5])
+    # feature-map kernel k(x, y) = sum_i lam_i phi_i(x) phi_i(y) with
+    # phi_i = sqrt(2)*sin(i pi x) orthonormal on [0, 1]
+    def feats(x):
+        return jnp.sqrt(2.0) * jnp.sin(
+            jnp.pi * jnp.arange(1, L + 1) * jnp.asarray(x).reshape(-1, 1))
+
+    def kernel(x, y):
+        return (feats(x) * lam) @ feats(y).T
+
+    xs = rng.uniform(0, 1, size=n).astype(np.float32)
+    ny = Nystrom(kernel, xs, dim=L)
+    np.testing.assert_allclose(np.asarray(ny.eigvals), lam, rtol=0.15)
+
+    xval = np.linspace(0, 1, 1000).astype(np.float32)
+    eigvals, eigfuncs, t = run_nystrom(kernel, L, xs, xval,
+                                       log_dir=str(tmp_path))
+    # out-of-sample eigenfunctions are orthonormal under uniform measure
+    G = eigfuncs.T @ eigfuncs / len(xval)
+    np.testing.assert_allclose(G, np.eye(L), atol=0.1)
+    import os
+    assert os.path.exists(os.path.join(tmp_path, "eigvals.npz"))
