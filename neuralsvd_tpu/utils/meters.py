@@ -53,3 +53,36 @@ def accuracy(logits, targets, topk=(1,)):
     pred = np.argsort(-logits, axis=1)[:, :maxk]
     correct = pred == targets[:, None]
     return [100.0 * correct[:, :k].any(axis=1).mean() for k in topk]
+
+
+class Metric:
+    """Running best/avg scalar tracker (reference: tools/utils/metric.py)."""
+
+    def __init__(self, kind: str = "avg"):
+        assert kind in ("avg", "max", "min")
+        self.kind = kind
+        self.reset()
+
+    def reset(self):
+        self._sum = 0.0
+        self._n = 0
+        self.curr_val = (-np.inf if self.kind == "max"
+                         else np.inf if self.kind == "min" else None)
+
+    def update(self, value):
+        if self.kind == "max":
+            self.curr_val = max(self.curr_val, value)
+        elif self.kind == "min":
+            self.curr_val = min(self.curr_val, value)
+        else:
+            self._sum += value
+            self._n += 1
+            self.curr_val = self._sum / self._n
+        return self.curr_val
+
+    def val(self):
+        return self.curr_val
+
+
+def create_metric(kind: str) -> Metric:
+    return Metric(kind)
