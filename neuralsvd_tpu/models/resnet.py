@@ -91,7 +91,7 @@ def make_resnet(depth_blocks: Sequence[int] = (2, 2, 2, 2), width: int = 64,
     ResNet-18; (3,4,6,3) is ResNet-34.  ``cifar_stem`` uses the 3x3 stem
     without max-pool (reference: examples/models/resnet.py CIFAR variant).
     ``num_outputs=0`` returns pooled features (backbone mode)."""
-    widths = [width, 2 * width, 4 * width, 8 * width]
+    widths = [width * 2 ** i for i in range(len(depth_blocks))]
     strides = [2 if (b == 0 and stage > 0) else 1
                for stage, n in enumerate(depth_blocks) for b in range(n)]
 

@@ -130,3 +130,39 @@ def test_hetero_network_two_towers_independent(rng):
 def test_parse_dims():
     assert parse_dims("128,128,64") == [128, 128, 64]
     assert parse_dims("32") == [32]
+
+
+def test_resnet_families_forward(rng):
+    from neuralsvd_tpu.models import make_cifar_resnet, make_resnet
+
+    init, apply = make_cifar_resnet(depth=20, num_outputs=10)
+    params, state = init(jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    out, new_state = apply(params, state, x, train=True)
+    assert out.shape == (2, 10)
+    out_eval, _ = apply(params, new_state, x, train=False)
+    assert out_eval.shape == (2, 10) and bool(jnp.all(jnp.isfinite(out_eval)))
+
+    init2, apply2 = make_resnet(depth_blocks=(1, 1), width=16, num_outputs=4)
+    p2, s2 = init2(jax.random.key(1))
+    out2, _ = apply2(p2, s2, x, train=False)
+    assert out2.shape == (2, 4)
+
+
+def test_siam_network_state_and_modes(rng):
+    from neuralsvd_tpu.models import make_siam_network
+
+    init, init_state, apply = make_siam_network(
+        input_dim=8, backbone_dims=[16, 8], projector_dims=[4],
+        mu=4.0, batch_l2norm=True)
+    params = init(jax.random.key(0))
+    state = init_state()
+    z1 = jnp.asarray(rng.normal(size=(32, 8)).astype(np.float32))
+    z2 = jnp.asarray(rng.normal(size=(32, 8)).astype(np.float32))
+    r1, e1, r2, e2, state = apply(params, state, z1, z2, train=True)
+    assert e1.shape == (32, 4) and bool(state["initialized"])
+    # eval path uses the stored norms
+    _, e1_eval, state2 = apply(params, state, z1, train=False)
+    assert e1_eval.shape == (32, 4)
+    np.testing.assert_array_equal(np.asarray(state2["l2norm"]),
+                                  np.asarray(state["l2norm"]))
