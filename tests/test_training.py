@@ -187,3 +187,46 @@ def test_reject_spikes_zeroes_outlier_updates():
     u, state = tx.update({"w": jnp.full(4, jnp.nan)}, state)
     np.testing.assert_allclose(u["w"], 0.0)
     assert int(state.rejected) == 2
+
+
+def test_train_step_skips_nonfinite_batches(rng):
+    """A NaN-producing batch leaves params/opt-state untouched and flags
+    metrics['skipped'] (the AMP-GradScaler-skip equivalent)."""
+    from neuralsvd_tpu.methods.nestedlora import NestedLoRA
+    from neuralsvd_tpu.training.optimizers import torch_rmsprop
+    from neuralsvd_tpu.training.train_operator import make_train_step
+    from neuralsvd_tpu.training.train_state import init_train_state
+
+    W = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+
+    def apply_fn(p, x):
+        return x @ p
+
+    def operator(f, x, importance=None):
+        fs = f(x)
+        # NaN whenever the batch mean is positive -> some keys poison
+        bad = jnp.mean(x) > 0
+        return jnp.where(bad, jnp.nan, 1.0) * fs, fs
+
+    method = NestedLoRA(apply_fn, neigs=3)
+    opt = torch_rmsprop(1e-2)
+
+    def sampler(key):
+        return jax.random.normal(key, (16, 2))
+
+    step = jax.jit(make_train_step(method, operator, opt, sampler))
+    ts = init_train_state(W, opt, method)
+
+    seen_skip = seen_ok = False
+    for i in range(12):
+        prev = ts.params
+        ts, m = step(ts, jax.random.key(i))
+        if bool(m["skipped"]):
+            seen_skip = True
+            np.testing.assert_array_equal(np.asarray(ts.params),
+                                          np.asarray(prev))
+        else:
+            seen_ok = True
+            assert np.abs(np.asarray(ts.params) - np.asarray(prev)).max() > 0
+        assert bool(jnp.all(jnp.isfinite(ts.params)))
+    assert seen_skip and seen_ok
