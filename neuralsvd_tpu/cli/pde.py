@@ -58,6 +58,7 @@ def main(cfg: PDEConfig):
         fourier_scale=cfg.fourier_scale,
         fourier_deterministic=cfg.fourier_deterministic,
         fourier_append_raw=cfg.fourier_append_raw,
+        fourier_append_radial=cfg.fourier_append_radial,
         fourier_seed=cfg.seed,
         apply_boundary=cfg.apply_boundary, boundary_mode=cfg.boundary_mode,
         lim=cfg.lim, apply_exp_mask=cfg.apply_exp_mask,

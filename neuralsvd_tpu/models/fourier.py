@@ -19,12 +19,20 @@ def make_fourier_features(
     deterministic: bool = False,
     append_raw: bool = False,
     seed: int = 0,
+    append_radial: bool = False,
+    n_particles: int = 1,
 ):
     """Returns ``(init, apply)``; ``apply.feature_dim`` gives the output dim.
 
     deterministic=True uses the integer-frequency bank
     ``B = scale * [I, 2I, ..., mI]`` (for periodic problems on [-pi, pi]);
     otherwise a Gaussian random projection ``2*pi*scale*N(0,1)``.
+
+    ``append_radial`` concatenates per-particle radial norms ‖x_p‖ (cusp
+    features, beyond the reference): Coulomb eigenfunctions have r-cusps at
+    nuclei that no smooth feature of x can represent, but every hydrogenic
+    eigenfunction is smooth in (r, angles) — exposing r makes e^{-βr}
+    representable and removes the dominant ground-state bias.
     """
     if deterministic:
         B = scale * np.concatenate(
@@ -36,7 +44,8 @@ def make_fourier_features(
         B = 2 * np.pi * scale * rng.standard_normal((input_dim, mapping_size))
         eff_mapping = mapping_size
     B = jnp.asarray(B, dtype=jnp.float32)
-    feature_dim = 2 * eff_mapping + (input_dim if append_raw else 0)
+    feature_dim = (2 * eff_mapping + (input_dim if append_raw else 0)
+                   + (n_particles if append_radial else 0))
 
     def init(key):
         return {}
@@ -47,6 +56,10 @@ def make_fourier_features(
         feats = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
         if append_raw:
             feats = jnp.concatenate([feats, x], axis=-1)
+        if append_radial:
+            per_particle = x.reshape(x.shape[0], n_particles, -1)
+            r = jnp.sqrt(jnp.sum(per_particle ** 2, axis=-1) + 1e-12)
+            feats = jnp.concatenate([feats, r], axis=-1)
         return feats
 
     apply.feature_dim = feature_dim

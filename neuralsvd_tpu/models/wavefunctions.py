@@ -66,6 +66,7 @@ def make_wavefunctions(
     fourier_scale: float = 10.0,
     fourier_deterministic: bool = False,
     fourier_append_raw: bool = False,
+    fourier_append_radial: bool = False,
     fourier_seed: int = 0,
     apply_boundary: bool = True,
     boundary_mode: str = "dir_box_sqrt",
@@ -88,6 +89,8 @@ def make_wavefunctions(
             scale=fourier_scale,
             deterministic=fourier_deterministic,
             append_raw=fourier_append_raw,
+            append_radial=fourier_append_radial,
+            n_particles=n_particles,
             seed=fourier_seed,
         )
     base_init, base_apply = make_mlp_eigfuncs(

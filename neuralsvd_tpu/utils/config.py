@@ -86,6 +86,7 @@ class PDEConfig:
     fourier_scale: float = 1.0
     fourier_deterministic: bool = False
     fourier_append_raw: bool = False
+    fourier_append_radial: bool = False  # per-particle ‖x‖ cusp features
     apply_boundary: bool = True
     boundary_mode: str = "dir_box_sqrt"
     apply_exp_mask: bool = False

@@ -45,6 +45,7 @@ BATCH = 512
 SCALE = 16.0     # gaussian sampling scale (reference hydrogen.sh)
 LAP_EPS = 0.1    # FD; f32-safe (see verify skill); <= 0 for exact autodiff
 GRAD_CLIP = 0.0  # skip-only; clipping at the wrong scale destroys training
+RADIAL = os.environ.get("NS_RADIAL", "1") == "1"  # r cusp feature (1s state)
 CHUNK = 1000
 
 
@@ -63,6 +64,7 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         nonlinearity="softplus", parallel=True,
         use_fourier_feature=True,
         fourier_mapping_size=1024, fourier_scale=0.1,
+        fourier_append_radial=RADIAL,
         apply_boundary=False)
     params = init(jax.random.key(0))
     method = NestedLoRA(apply, neigs=NEIGS, sequential=SEQUENTIAL)
