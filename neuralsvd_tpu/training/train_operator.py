@@ -75,7 +75,8 @@ def make_train_step(
         opt_state = jax.tree.map(
             lambda n, o: jnp.where(finite, n, o) if hasattr(n, "ndim") else n,
             opt_state, ts.opt_state)
-        ema_params = ema_update(ts.ema_params, params, ema_decay)
+        ema_params = ema_update(ts.ema_params, params, ema_decay,
+                                step=ts.step)
         metrics = {"loss": loss, "gnorm": gnorm,
                    "skipped": jnp.logical_not(finite)}
         if monitor:

@@ -20,8 +20,17 @@ class TrainState(NamedTuple):
     method_state: Any
 
 
-def ema_update(ema_params, params, decay: float):
-    """EMA with torch_ema semantics: ema <- decay*ema + (1-decay)*param."""
+def ema_update(ema_params, params, decay: float, step=None):
+    """EMA with torch_ema semantics: ema <- d*ema + (1-d)*param.
+
+    With ``step`` given, applies torch_ema's num_updates ramp
+    d = min(decay, (1+t)/(10+t)) — early iterates enter the average fast,
+    matching the reference's ExponentialMovingAverage default
+    (use_num_updates=True; examples/operator/__init__.py:36).
+    """
+    if step is not None:
+        t = step.astype(jnp.float32) if hasattr(step, "astype") else float(step)
+        decay = jnp.minimum(decay, (1.0 + t) / (10.0 + t))
     return jax.tree.map(lambda e, p: decay * e + (1 - decay) * p,
                         ema_params, params)
 

@@ -82,6 +82,12 @@ def test_ema_update():
     params = {"w": jnp.ones(3)}
     out = ema_update(ema, params, decay=0.9)
     np.testing.assert_allclose(out["w"], 0.1 * np.ones(3), rtol=1e-6)
+    # torch_ema num_updates ramp: at step 0, d = min(0.9, 1/10) = 0.1
+    out = ema_update(ema, params, decay=0.9, step=jnp.zeros((), jnp.int32))
+    np.testing.assert_allclose(out["w"], 0.9 * np.ones(3), rtol=1e-6)
+    # large step -> back to the nominal decay
+    out = ema_update(ema, params, decay=0.9, step=jnp.asarray(10_000))
+    np.testing.assert_allclose(out["w"], 0.1 * np.ones(3), rtol=1e-4)
 
 
 def test_sampler_importance_densities():
