@@ -230,3 +230,50 @@ def test_nystrom_recovers_kernel_spectrum(rng, tmp_path):
     np.testing.assert_allclose(G, np.eye(L), atol=0.1)
     import os
     assert os.path.exists(os.path.join(tmp_path, "eigvals.npz"))
+
+
+def test_spin_training_converges_to_top_eigenpairs(rng):
+    """SpIN end-to-end on a finite symmetric operator: the dual-channel
+    gradient (pi-vjp + EMA'd Jacobian sigma-channel) drives the model to the
+    top-L eigenspace, and eval_fn's Cholesky orthonormalization yields
+    Rayleigh quotients matching the top eigenvalues (SURVEY §7 hard part)."""
+    import optax
+
+    from neuralsvd_tpu.methods.spin import SpIN
+
+    N, L, B = 32, 2, 64
+    Q, _ = np.linalg.qr(rng.normal(size=(N, N)))
+    lam = np.array([3.0, 2.0] + [0.1] * (N - 2))
+    M = ((Q * lam) @ Q.T).astype(np.float32)
+    Mj = jnp.asarray(M)
+
+    def apply_fn(F, x):  # x: one-hot state indicators (B, N)
+        return x @ F
+
+    def operator(f, x, importance=None):
+        return f(x @ Mj.T), f(x)
+
+    method = SpIN(apply_fn, L, decay=0.05)
+    F = jnp.asarray(0.1 * rng.normal(size=(N, L)).astype(np.float32))
+    state = method.init_state(F)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(F)
+
+    @jax.jit
+    def step(F, state, opt_state, key):
+        idx = jax.random.randint(key, (B,), 0, N)
+        x = jax.nn.one_hot(idx, N)
+        loss, grads, aux, state = method.loss_and_grad(F, state, x, operator)
+        updates, opt_state = opt.update(grads, opt_state, F)
+        return optax.apply_updates(F, updates), state, opt_state, loss
+
+    key = jax.random.key(0)
+    for _ in range(3000):
+        key, sub = jax.random.split(key)
+        F, state, opt_state, loss = step(F, state, opt_state, sub)
+
+    phi = np.asarray(method.eval_fn(F, state)(jnp.eye(N)))
+    cov = phi.T @ phi / N
+    quad = phi.T @ (M @ phi) / N
+    rayleigh = np.sort(np.diag(quad) / np.diag(cov))[::-1]
+    np.testing.assert_allclose(rayleigh, lam[:L], rtol=0.05)
