@@ -46,6 +46,8 @@ SCALE = 16.0     # gaussian sampling scale (reference hydrogen.sh)
 LAP_EPS = 0.1    # FD; f32-safe (see verify skill); <= 0 for exact autodiff
 GRAD_CLIP = 0.0  # skip-only; clipping at the wrong scale destroys training
 RADIAL = os.environ.get("NS_RADIAL", "1") == "1"  # r cusp feature (1s state)
+EXP_MASK = os.environ.get("NS_EXP_MASK", "0") == "1"  # learnable e^{-r/s_l}
+EXP_MASK_SCALE = float(os.environ.get("NS_EXP_MASK_SCALE", "5.0"))
 CHUNK = 1000
 
 
@@ -65,7 +67,8 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         use_fourier_feature=True,
         fourier_mapping_size=1024, fourier_scale=0.1,
         fourier_append_radial=RADIAL,
-        apply_boundary=False)
+        apply_boundary=False, apply_exp_mask=EXP_MASK,
+        exp_mask_init_scale=EXP_MASK_SCALE)
     params = init(jax.random.key(0))
     method = NestedLoRA(apply, neigs=NEIGS, sequential=SEQUENTIAL)
     opt = torch_rmsprop(cosine_annealing(1e-4, num_iters), alpha=0.999)
