@@ -259,3 +259,64 @@ def test_evd_training_recovers_spectrum_of_finite_operator(rng):
     # orthogonality
     off = cov - np.diag(np.diag(cov))
     assert np.abs(off).max() < 5e-2
+
+
+def test_svd_training_recovers_matrix_svd(rng):
+    """Direct-parameterization training with the SVD loss on a fixed matrix
+    recovers its top singular values and subspaces (the paper's analytical
+    -matrix experiments; subspace check via utils.linalg)."""
+    import optax
+
+    from neuralsvd_tpu.utils.linalg import subspace_distance
+
+    M, N, L, Bh, STEPS = 48, 40, 3, 96, 4000
+    A = rng.normal(size=(M, N)).astype(np.float32) / np.sqrt(M * N)
+    U, S, Vt = np.linalg.svd(A)
+    # lift the top singular values above the bulk
+    S[:L] = np.array([1.5, 1.0, 0.7])
+    A = (U[:, :min(M, N)] * S) @ Vt[:min(M, N)]
+    A = A.astype(np.float32)
+    Aj = jnp.asarray(A)
+    vmask, mmask = sequential_nesting_masks(L)
+
+    # f: M-dim left functions, g: N-dim right functions (one value per state,
+    # uniform measures; operator T g = A g with measure-consistent scaling)
+    F0 = 0.1 * rng.normal(size=(M, L)).astype(np.float32)
+    G0 = 0.1 * rng.normal(size=(N, L)).astype(np.float32)
+    opt = optax.adam(optax.cosine_decay_schedule(5e-2, STEPS))
+
+    @jax.jit
+    def step(FG, opt_state, key):
+        def loss_fn(FG):
+            F, G = FG
+            # kernel k = sqrt(MN)·A under the empirical measures:
+            # (Tg)_i = E_j[k_ij g_j] = sqrt(M/N)·(A g)_i, and the operator's
+            # singular values then equal A's matrix singular values
+            Tg = jnp.sqrt(M / N) * (Aj @ G)
+            Tadjf = jnp.sqrt(N / M) * (Aj.T @ F)
+            k1, k2 = jax.random.split(key)
+            i = jax.random.randint(k1, (Bh,), 0, M)
+            j = jax.random.randint(k2, (Bh,), 0, N)
+            return nestedlora_svd_loss(None, F[i], Tg[i], G[j], Tadjf[j],
+                                       jnp.asarray(vmask), jnp.asarray(mmask))
+
+        loss, grads = jax.value_and_grad(loss_fn)(FG)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(FG, updates), opt_state, loss
+
+    FG, opt_state = (jnp.asarray(F0), jnp.asarray(G0)), opt.init((F0, G0))
+    key = jax.random.key(0)
+    for _ in range(STEPS):
+        key, sub = jax.random.split(key)
+        FG, opt_state, loss = step(FG, opt_state, sub)
+
+    F, G = map(np.asarray, FG)
+    # generalized singular values: s_l = E_i[f_l (Tg)_l] / (|f_l| |g_l|)
+    cross = np.sqrt(M / N) * np.einsum("ml,ml->l", F, A @ G) / M
+    fn = np.sqrt(np.einsum("ml,ml->l", F, F) / M)
+    gn = np.sqrt(np.einsum("nl,nl->l", G, G) / N)
+    singvals = np.sort(cross / (fn * gn))[::-1]
+    np.testing.assert_allclose(singvals, S[:L], rtol=2e-2)
+    # subspace recovery (scaled singular vectors: u_l = U[:, l]·sqrt(M))
+    assert subspace_distance(F, U[:, :L]) < 0.05
+    assert subspace_distance(G, Vt[:L].T) < 0.05
