@@ -223,9 +223,9 @@ def run_training(args, train_loader, test_loader, valid_loader, input_dim):
                             jax.tree.map(np.asarray, params))
         save_checkpoint(ckpt_path, {
             "params": jax.tree.map(np.asarray, params),
-            "opt_state": jax.tree.map(
-                np.asarray,
-                dict(enumerate(map(np.asarray, jax.tree.leaves(opt_state))))),
+            # leaves as a LIST: an int-keyed dict would restore in
+            # lexicographic key order and scramble the leaf sequence
+            "opt_state": [np.asarray(x) for x in jax.tree.leaves(opt_state)],
             "epoch": epoch + 1,
             "best_valid_pk": best_valid_pk,
         })

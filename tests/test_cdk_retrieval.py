@@ -150,3 +150,28 @@ def test_feature_extraction_pipeline(tmp_path, rng):
     assert x.shape == (4, 16) and y.shape == (4, 16)
     assert set(np.asarray(loader.sketch_classes).tolist()) == set(
         subsets["train"].tolist())
+
+
+def test_cdk_resume_from_checkpoint(rng, tmp_path):
+    """--resume restores params/opt-state/epoch and continues training."""
+    from neuralsvd_tpu.cli.sketchy import get_args, run_training
+
+    train, test, valid = _make_synth_loaders(rng)
+    base = ["--log_dir", str(tmp_path), "--batch_size", "64",
+            "--network_dims", "64,16", "--neigs", "16",
+            "--optimizer", "adam", "--base_lr", "1e-3", "--mu", "4.0",
+            "--n_retrievals", "10"]
+    run_training(get_args(base + ["--num_epochs", "1"]), train, test, valid,
+                 input_dim=16)
+    import os
+    assert os.path.exists(os.path.join(tmp_path, "ckpt"))
+    # resume for one more epoch: must not raise and must extend the log
+    run_training(get_args(base + ["--num_epochs", "2", "--resume"]),
+                 train, test, valid, input_dim=16)
+    import csv
+    rows = []
+    for f in sorted(os.listdir(tmp_path)):
+        if f.endswith(".csv"):
+            with open(os.path.join(tmp_path, f)) as fh:
+                rows.extend(csv.DictReader(fh))
+    assert [int(r["epoch"]) for r in rows] == [0, 1]  # resumed at epoch 1
