@@ -11,6 +11,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from neuralsvd_tpu.models.fourier import make_fourier_features
 from neuralsvd_tpu.models.mlp import make_mlp_eigfuncs
@@ -33,16 +34,25 @@ def dirichlet_box_mask(x: jax.Array, lim: float, mode: str = "dir_box_sqrt"):
     return jnp.prod(per_dim, axis=-1, keepdims=True)
 
 
-def make_exponential_mask(output_dim: int, init_scale: float = 1000.0,
+def make_exponential_mask(output_dim: int, init_scale=1000.0,
                           box_mask=None):
     """Learnable radial decay ``exp(-r / s_l)`` per mode.
 
     The scales are trainable parameters (reference:
-    examples/operator/pde/boundary.py:39-53).
+    examples/operator/pde/boundary.py:39-53).  ``init_scale`` may be a
+    scalar or a (min, max) pair giving a geometric ladder across modes —
+    under sequential nesting mode order tracks the spectrum, so tight
+    scales seed the compact low modes and loose scales the diffuse tail.
     """
 
     def init(key):
-        return {"scales": init_scale * jnp.ones((output_dim,), jnp.float32)}
+        if isinstance(init_scale, (tuple, list)):
+            lo, hi = init_scale
+            scales = jnp.asarray(
+                np.geomspace(lo, hi, output_dim), jnp.float32)
+        else:
+            scales = init_scale * jnp.ones((output_dim,), jnp.float32)
+        return {"scales": scales}
 
     def apply(params, x):
         r = jnp.linalg.norm(x.reshape(x.shape[0], -1), axis=-1, keepdims=True)

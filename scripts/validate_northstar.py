@@ -47,7 +47,9 @@ LAP_EPS = 0.1    # FD; f32-safe (see verify skill); <= 0 for exact autodiff
 GRAD_CLIP = 0.0  # skip-only; clipping at the wrong scale destroys training
 RADIAL = os.environ.get("NS_RADIAL", "1") == "1"  # r cusp feature (1s state)
 EXP_MASK = os.environ.get("NS_EXP_MASK", "0") == "1"  # learnable e^{-r/s_l}
-EXP_MASK_SCALE = float(os.environ.get("NS_EXP_MASK_SCALE", "5.0"))
+_ems = os.environ.get("NS_EXP_MASK_SCALE", "5.0")
+EXP_MASK_SCALE = (tuple(float(v) for v in _ems.split(","))
+                  if "," in _ems else float(_ems))  # "lo,hi" = ladder
 CHUNK = 1000
 
 
