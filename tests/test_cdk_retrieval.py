@@ -175,3 +175,28 @@ def test_cdk_resume_from_checkpoint(rng, tmp_path):
             with open(os.path.join(tmp_path, f)) as fh:
                 rows.extend(csv.DictReader(fh))
     assert [int(r["epoch"]) for r in rows] == [0, 1]  # resumed at epoch 1
+
+
+def test_knn_monitor_separable_classes(rng):
+    """Weighted kNN top-1 accuracy is ~1 for well-separated class clusters
+    and near-chance for random labels (reference: tools/knn_monitor.py)."""
+    from neuralsvd_tpu.eval.knn import knn_monitor, knn_predict
+
+    n_cls, per_cls, D = 5, 40, 8
+    centers = 8 * rng.normal(size=(n_cls, D)).astype(np.float32)
+    labels = np.repeat(np.arange(n_cls), per_cls)
+    bank = centers[labels] + 0.1 * rng.normal(size=(len(labels), D))
+    test = centers[labels] + 0.1 * rng.normal(size=(len(labels), D))
+
+    preds = knn_predict(test.astype(np.float32), bank.astype(np.float32),
+                        labels, num_classes=n_cls, k=10)
+    assert (preds == labels).mean() > 0.99
+
+    acc = knn_monitor(lambda x: x, bank, labels, test, labels,
+                      num_classes=n_cls, k=10)
+    assert acc > 0.99
+
+    shuffled = np.asarray(rng.permutation(labels))
+    acc_rand = knn_monitor(lambda x: x, bank, shuffled, test, labels,
+                           num_classes=n_cls, k=10)
+    assert acc_rand < 0.5
