@@ -46,10 +46,13 @@ def make_exponential_mask(output_dim: int, init_scale=1000.0,
     """
 
     def init(key):
-        if isinstance(init_scale, (tuple, list)):
-            lo, hi = init_scale
-            scales = jnp.asarray(
-                np.geomspace(lo, hi, output_dim), jnp.float32)
+        if isinstance(init_scale, (tuple, list, np.ndarray)):
+            if len(init_scale) == output_dim:  # explicit per-mode scales
+                scales = jnp.asarray(np.asarray(init_scale), jnp.float32)
+            else:
+                lo, hi = init_scale
+                scales = jnp.asarray(
+                    np.geomspace(lo, hi, output_dim), jnp.float32)
         else:
             scales = init_scale * jnp.ones((output_dim,), jnp.float32)
         return {"scales": scales}

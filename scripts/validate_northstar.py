@@ -48,8 +48,14 @@ GRAD_CLIP = 0.0  # skip-only; clipping at the wrong scale destroys training
 RADIAL = os.environ.get("NS_RADIAL", "1") == "1"  # r cusp feature (1s state)
 EXP_MASK = os.environ.get("NS_EXP_MASK", "0") == "1"  # learnable e^{-r/s_l}
 _ems = os.environ.get("NS_EXP_MASK_SCALE", "5.0")
-EXP_MASK_SCALE = (tuple(float(v) for v in _ems.split(","))
-                  if "," in _ems else float(_ems))  # "lo,hi" = ladder
+if _ems == "grouped":
+    # physics-informed per-group init: 2D hydrogen psi_n ~ e^{-r/s_n} with
+    # s_n = (n+1/2)/Z, degeneracy 2n+1 (ground_truths.Hydrogen2D)
+    EXP_MASK_SCALE = [n + 0.5 for n in range(4) for _ in range(2 * n + 1)]
+elif "," in _ems:
+    EXP_MASK_SCALE = tuple(float(v) for v in _ems.split(","))  # lo,hi ladder
+else:
+    EXP_MASK_SCALE = float(_ems)
 CHUNK = 1000
 
 
