@@ -35,7 +35,7 @@ def dirichlet_box_mask(x: jax.Array, lim: float, mode: str = "dir_box_sqrt"):
 
 
 def make_exponential_mask(output_dim: int, init_scale=1000.0,
-                          box_mask=None):
+                          box_mask=None, conjugate_importance=None):
     """Learnable radial decay ``exp(-r / s_l)`` per mode.
 
     The scales are trainable parameters (reference:
@@ -43,6 +43,14 @@ def make_exponential_mask(output_dim: int, init_scale=1000.0,
     scalar or a (min, max) pair giving a geometric ladder across modes —
     under sequential nesting mode order tracks the spectrum, so tight
     scales seed the compact low modes and loose scales the diffuse tail.
+
+    ``conjugate_importance``: sampling density w(x).  Under importance
+    conjugation the model learns f = ψ/√w, whose tails decay SLOWER than
+    the physical eigenfunction ψ; with this set the mask becomes
+    ``e^{-r/s_l} · √(w(0)/w(x))`` so that the *physical* ψ = √w·f carries
+    the ``e^{-r/s_l}`` envelope while the MLP only models the smooth part
+    (validated finding: Lebesgue-asymptotic masks strangle diffuse modes
+    under Gaussian sampling — BASELINE.md).
     """
 
     def init(key):
@@ -58,8 +66,13 @@ def make_exponential_mask(output_dim: int, init_scale=1000.0,
         return {"scales": scales}
 
     def apply(params, x):
-        r = jnp.linalg.norm(x.reshape(x.shape[0], -1), axis=-1, keepdims=True)
+        x2 = x.reshape(x.shape[0], -1)
+        r = jnp.linalg.norm(x2, axis=-1, keepdims=True)
         mask = jnp.exp(-r / params["scales"][None, :])  # (B, L)
+        if conjugate_importance is not None:
+            w = conjugate_importance(x2).reshape(-1, 1)
+            w0 = conjugate_importance(jnp.zeros_like(x2[:1])).reshape(1, 1)
+            mask = mask * jnp.sqrt(w0 / jnp.clip(w, min=1e-30))
         if box_mask is not None:
             mask = mask * box_mask(x)
         return mask
@@ -85,7 +98,8 @@ def make_wavefunctions(
     boundary_mode: str = "dir_box_sqrt",
     lim: float = 1.0,
     apply_exp_mask: bool = False,
-    exp_mask_init_scale: float = 1000.0,
+    exp_mask_init_scale=1000.0,
+    exp_mask_conjugate_importance=None,
     hard_mul_const: float = 1.0,
     debug: bool = False,
 ):
@@ -123,7 +137,8 @@ def make_wavefunctions(
     exp_init = exp_apply = None
     if apply_exp_mask:
         exp_init, exp_apply = make_exponential_mask(
-            neigs, init_scale=exp_mask_init_scale, box_mask=box)
+            neigs, init_scale=exp_mask_init_scale, box_mask=box,
+            conjugate_importance=exp_mask_conjugate_importance)
 
     def init(key):
         k1, k2 = jax.random.split(key)

@@ -166,3 +166,26 @@ def test_siam_network_state_and_modes(rng):
     assert e1_eval.shape == (32, 4)
     np.testing.assert_array_equal(np.asarray(state2["l2norm"]),
                                   np.asarray(state["l2norm"]))
+
+
+def test_exponential_mask_conjugation_aware(rng):
+    """With conjugate_importance=w, the physical envelope √w·mask equals
+    e^{-r/s} up to the w(0) normalization — the MLP-side mask compensates
+    the 1/√w growth of the conjugated target functions."""
+    from neuralsvd_tpu.models.wavefunctions import make_exponential_mask
+
+    sigma = 4.0
+
+    def w(x):
+        return jnp.exp(-0.5 * jnp.sum((x / sigma) ** 2, -1, keepdims=True))
+
+    init, apply = make_exponential_mask(2, init_scale=[1.0, 3.0],
+                                        conjugate_importance=w)
+    params = init(jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(params["scales"]), [1.0, 3.0])
+    x = jnp.asarray(rng.normal(size=(32, 2)).astype(np.float32)) * 3
+    mask = np.asarray(apply(params, x))
+    r = np.linalg.norm(np.asarray(x), axis=1, keepdims=True)
+    physical = np.sqrt(np.asarray(w(x))) * mask  # √w·f-envelope
+    expected = np.exp(-r / np.array([1.0, 3.0])[None, :])
+    np.testing.assert_allclose(physical, expected, rtol=1e-4)
