@@ -76,7 +76,10 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         fourier_mapping_size=1024, fourier_scale=0.1,
         fourier_append_radial=RADIAL,
         apply_boundary=False, apply_exp_mask=EXP_MASK,
-        exp_mask_init_scale=EXP_MASK_SCALE)
+        exp_mask_init_scale=EXP_MASK_SCALE,
+        exp_mask_conjugate_importance=(
+            importance if os.environ.get("NS_EXP_MASK_CONJ") == "1"
+            else None))
     params = init(jax.random.key(0))
     method = NestedLoRA(apply, neigs=NEIGS, sequential=SEQUENTIAL)
     opt = torch_rmsprop(cosine_annealing(1e-4, num_iters), alpha=0.999)
