@@ -200,3 +200,29 @@ def test_knn_monitor_separable_classes(rng):
     acc_rand = knn_monitor(lambda x: x, bank, shuffled, test, labels,
                            num_classes=n_cls, k=10)
     assert acc_rand < 0.5
+
+
+def test_retrieval_trunc_and_perm_controls(rng):
+    """Truncation keeps the leading/trailing dims; the random-perm control
+    changes which dims are kept (reference trunc sweep, main_sketchy.py:325-358)."""
+    n_cls, per_cls, D = 4, 10, 12
+    centers = 6 * rng.normal(size=(n_cls, D)).astype(np.float32)
+    cls = np.repeat(np.arange(n_cls), per_cls)
+    x = (centers[cls] + 0.05 * rng.normal(size=(len(cls), D))).astype(np.float32)
+    y = (centers[cls] + 0.05 * rng.normal(size=(len(cls), D))).astype(np.float32)
+    loader = ArrayPairLoader(x, y, cls, batch_size=16)
+    r = Retrieval(loader, n_retrievals=per_cls)
+
+    ident = lambda v: v
+    pk_full, _ = r.evaluate(ident, ident)
+    assert pk_full.mean() > 0.9
+    # keeping only the first 2 dims must not beat the full embedding
+    pk_trunc, _ = r.evaluate(ident, ident, trunc_dim=2)
+    assert pk_trunc.mean() <= pk_full.mean() + 1e-9
+    # negative truncation keeps the LAST dims
+    pk_neg, _ = r.evaluate(ident, ident, trunc_dim=-D)
+    np.testing.assert_allclose(pk_neg.mean(), pk_full.mean())
+    # a permutation followed by full keep is a no-op
+    perm = np.asarray(rng.permutation(D))
+    pk_perm, _ = r.evaluate(ident, ident, trunc_dim=D, perm=perm)
+    np.testing.assert_allclose(pk_perm.mean(), pk_full.mean())
