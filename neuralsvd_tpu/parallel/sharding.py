@@ -125,11 +125,11 @@ def make_shard_map_train_step(method, operator, optimizer, sampler,
         x = x.reshape(x.shape[0], -1)
         loss, grads, aux, method_state = method.loss_and_grad(
             ts.params, ts.method_state, x, operator, importance)
-        # loss/grads already global via the loss's pmean; grads come from
-        # vjp of a pmean'd scalar so psum once more is NOT needed for the
-        # metric/operator channels — but model params saw only local data,
-        # so reduce to keep replicas identical:
-        grads = jax.lax.pmean(grads, dp_axis)
+        # The loss's custom VJP normalizes per-row cotangents by the GLOBAL
+        # batch (ops/nestedlora.py _axis_scale), but each device's param
+        # gradient only sums its local rows — psum completes the global sum
+        # (pmean here would scale gradients by 1/n_devices).
+        grads = jax.lax.psum(grads, dp_axis)
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
         ema_params = ema_update(ts.ema_params, params, ema_decay)
@@ -143,6 +143,74 @@ def make_shard_map_train_step(method, operator, optimizer, sampler,
         per_device_step, mesh=mesh,
         in_specs=(PartitionSpec(), PartitionSpec()),
         out_specs=(PartitionSpec(), PartitionSpec()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_shard_map_cdk_step(method, optimizer, mesh: Mesh,
+                            grad_clip: float = 0.0, dp_axis: str = "dp"):
+    """Explicit DP for the CDK (paired-sample) path.
+
+    The (x, y) pair batch is sharded over ``dp_axis`` with pairing preserved
+    per device (x and y share the batch sharding); the method must be built
+    with ``axis_name=dp_axis`` so the loss's marginal Grams and operator
+    term pmean inside the custom VJP (ops/nestedlora.py CDK loss).  Non
+    -finite updates are skipped and counted, mirroring
+    cli/sketchy.make_cdk_train_step — same signature, drop-in replacement:
+
+        step(params, opt_state, method_state, x, y, skip_count)
+          -> (params, opt_state, method_state, loss, aux, skip_count)
+
+    aux's per-sample diagnostics (f, g, rs_joint, rs_indep) come back as
+    the concatenation of per-device shards (global batch order for f/g/
+    rs_joint; rs_indep covers within-shard off-diagonals only).
+    """
+    import jax.numpy as jnp
+    import optax
+
+    if getattr(method, "axis_name", None) != dp_axis:
+        raise ValueError(
+            f"method.axis_name={getattr(method, 'axis_name', None)!r} "
+            f"must equal dp_axis={dp_axis!r} for sharded CDK training")
+
+    def per_device_step(params, opt_state, method_state, x, y, skip_count):
+        loss, grads, aux, method_state = method.loss_and_grad(
+            params, method_state, x, y)
+        # The CDK VJP normalizes per-row cotangents by the GLOBAL batch;
+        # each device's param gradient sums only its local pairs — psum
+        # completes the global sum (pmean would scale by 1/n_devices).
+        grads = jax.lax.psum(grads, dp_axis)
+        if grad_clip > 0:  # clip the GLOBAL gradient, as single-device does
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        params = jax.tree.map(lambda old, new: jnp.where(finite, new, old),
+                              params, new_params)
+        opt_state = jax.tree.map(
+            lambda old, new: jnp.where(finite, new, old)
+            if hasattr(old, "shape") else new,
+            opt_state, new_opt_state)
+        skip_count = skip_count + jnp.where(finite, 0, 1)
+        aux = dict(aux)
+        aux["loss_operator"] = jax.lax.pmean(aux["loss_operator"], dp_axis)
+        aux["loss_metric"] = jax.lax.pmean(aux["loss_metric"], dp_axis)
+        return (params, opt_state, method_state,
+                jax.lax.pmean(loss, dp_axis), aux, skip_count)
+
+    P = PartitionSpec = jax.sharding.PartitionSpec
+    rep = P()
+    dp = P(dp_axis)
+    aux_specs = dict(f=dp, g=dp, loss_operator=rep, loss_metric=rep,
+                     rs_joint=dp, rs_indep=dp)
+    mapped = jax.shard_map(
+        per_device_step, mesh=mesh,
+        in_specs=(rep, rep, rep, dp, dp, rep),
+        out_specs=(rep, rep, rep, rep, aux_specs, rep),
         check_vma=False,
     )
     return jax.jit(mapped)

@@ -90,3 +90,120 @@ def test_state_shardings_cover_optimizer_moments():
     specs = [s.spec for s in jax.tree.leaves(shardings)
              if hasattr(s, "spec")]
     assert P("tp", None, None) in specs  # rank-3 moments sharded too
+
+
+def test_shard_map_cdk_step_matches_single_device(rng):
+    """DP CDK step on an 8-device dp mesh reproduces the single-device step:
+    pmean of per-shard marginal Grams equals the global Gram, and pairing is
+    preserved because x and y share the batch sharding."""
+    import optax
+
+    from neuralsvd_tpu.cli.sketchy import make_cdk_train_step
+    from neuralsvd_tpu.methods.nestedlora import NestedLoRAForCDK
+    from neuralsvd_tpu.models.two_tower import make_hetero_network
+    from neuralsvd_tpu.parallel.sharding import make_shard_map_cdk_step
+
+    L, dim, B = 4, 6, 64
+    init, apply, _ = make_hetero_network(
+        input_dim=dim, network_dims=[16, L], nonlinearity="lrelu0.2",
+        mu=16.0, regularize_mode="l2_ball")
+    params = init(jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(B, dim)).astype(np.float32))
+    y = x + 0.1 * jnp.asarray(rng.normal(size=(B, dim)).astype(np.float32))
+    opt = optax.sgd(1e-2)
+
+    def run(step, method):
+        p, s = params, opt.init(params)
+        skips = jnp.zeros((), jnp.int32)
+        for _ in range(3):
+            p, s, _, loss, aux, skips = step(p, s, {}, x, y, skips)
+        return p, loss, aux
+
+    plain = make_cdk_train_step(
+        NestedLoRAForCDK(apply, neigs=L), opt, grad_clip=0.0)
+    mesh = make_mesh(8, axes=("dp",), shape=(8,))
+    sharded = make_shard_map_cdk_step(
+        NestedLoRAForCDK(apply, neigs=L, axis_name="dp"), opt, mesh)
+
+    p_plain, loss_plain, aux_plain = run(plain, None)
+    p_dp, loss_dp, aux_dp = run(sharded, None)
+    np.testing.assert_allclose(float(loss_dp), float(loss_plain),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    # per-sample diagnostics come back in global batch order
+    np.testing.assert_allclose(np.asarray(aux_dp["f"]),
+                               np.asarray(aux_plain["f"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux_dp["rs_joint"]),
+                               np.asarray(aux_plain["rs_joint"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_shard_map_cdk_step_requires_axis_name():
+    import optax
+
+    from neuralsvd_tpu.methods.nestedlora import NestedLoRAForCDK
+    from neuralsvd_tpu.models.two_tower import make_hetero_network
+    from neuralsvd_tpu.parallel.sharding import make_shard_map_cdk_step
+
+    _, apply, _ = make_hetero_network(input_dim=4, network_dims=[8, 2],
+                                      nonlinearity="lrelu0.2")
+    mesh = make_mesh(8, axes=("dp",), shape=(8,))
+    with pytest.raises(ValueError, match="axis_name"):
+        make_shard_map_cdk_step(NestedLoRAForCDK(apply, neigs=2),
+                                optax.sgd(1e-2), mesh)
+
+
+def test_shard_map_train_step_matches_single_device():
+    """Full EVD DP step via shard_map == single-device step over the union
+    of per-device batches (psum-completed gradients; regression for the
+    pmean 1/n gradient-scale bug).
+
+    Union ordering: each device splits its LOCAL batch into metric halves
+    f1/f2, so the equivalent single-device batch concatenates all local
+    first halves, then all local second halves.
+    """
+    from neuralsvd_tpu.parallel import make_shard_map_train_step
+
+    L, ndim, B_loc, n_dev = 4, 2, 16, 8
+    init, apply = make_parallel_mlp(input_dim=ndim, mlp_hidden_dims=[8],
+                                    num_copies=L, nonlinearity="softplus")
+    params = init(jax.random.key(0))
+
+    def operator(f, x, importance=None):
+        fs = f(x)
+        # cheap self-adjoint operator: multiply by a fixed radial weight
+        w = jnp.exp(-jnp.sum(x**2, -1, keepdims=True))
+        return w * fs, fs
+
+    opt = torch_rmsprop(1e-3)
+
+    def sampler(key):
+        return jax.random.normal(key, (B_loc, ndim))
+
+    mesh = make_mesh(n_dev, axes=("dp",), shape=(n_dev,))
+    method_dp = NestedLoRA(apply, neigs=L, sequential=True, axis_name="dp")
+    step_dp = make_shard_map_train_step(method_dp, operator, opt, sampler,
+                                        mesh=mesh, ema_decay=0.9)
+    ts0 = init_train_state(params, opt, method_dp)
+    key = jax.random.key(7)
+    ts_dp, loss_dp = step_dp(ts0, key)
+
+    # reconstruct the global batch in half-consistent order
+    locals_ = [sampler(jax.random.fold_in(key, d)) for d in range(n_dev)]
+    h = B_loc // 2
+    X = jnp.concatenate([x[:h] for x in locals_] +
+                        [x[h:] for x in locals_], axis=0)
+
+    method_1 = NestedLoRA(apply, neigs=L, sequential=True)
+    step_1 = make_train_step(method_1, operator, opt,
+                             sampler=lambda k: X, ema_decay=0.9)
+    ts_1, m_1 = jax.jit(step_1)(ts0, key)
+
+    np.testing.assert_allclose(float(loss_dp), float(m_1["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ts_dp.params), jax.tree.leaves(ts_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
