@@ -41,6 +41,21 @@ def main(cfg: PDEConfig):
     os.makedirs(log_dir, exist_ok=True)
     log.info("log dir: %s", log_dir)
 
+    mesh = None
+    n_dev = 1
+    if cfg.mesh:
+        from neuralsvd_tpu.parallel import make_mesh
+
+        n_dev = (len(jax.devices()) if cfg.mesh == "dp"
+                 else int(cfg.mesh.split("=", 1)[1]))
+        mesh = make_mesh(n_dev, axes=("dp",), shape=(n_dev,))
+        if cfg.batch_size % (2 * n_dev):
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must divide by 2*n_devices="
+                f"{2 * n_dev} (even per-device metric half-batches)")
+        log.info("data-parallel mesh over %d devices "
+                 "(per-device batch %d)", n_dev, cfg.batch_size // n_dev)
+
     operator, ground_truth_spectrum, n_particles = get_problem(
         problem=cfg.problem, potential_type=cfg.potential_type,
         ndim=cfg.ndim, neigs=cfg.neigs, lim=cfg.lim, charge=cfg.charge,
@@ -59,6 +74,8 @@ def main(cfg: PDEConfig):
         fourier_deterministic=cfg.fourier_deterministic,
         fourier_append_raw=cfg.fourier_append_raw,
         fourier_append_radial=cfg.fourier_append_radial,
+        fourier_append_envelopes=tuple(
+            float(v) for v in cfg.fourier_append_envelopes.split(",") if v),
         fourier_seed=cfg.seed,
         apply_boundary=cfg.apply_boundary, boundary_mode=cfg.boundary_mode,
         lim=cfg.lim, apply_exp_mask=cfg.apply_exp_mask,
@@ -66,9 +83,14 @@ def main(cfg: PDEConfig):
         hard_mul_const=cfg.hard_mul_const)
     params = init(jax.random.key(cfg.seed))
 
+    scale = cfg.sampling_scale
+    if cfg.sampling_mode == "gaussian_mixture":
+        scale = tuple(float(v) for v in cfg.sampling_scales.split(",") if v)
+    # under a dp mesh each device draws its own batch: keep the configured
+    # batch_size GLOBAL by sampling batch_size // n_dev per device
     sample, importance_train = get_sampler(
-        cfg.sampling_mode, cfg.batch_size, n_particles, cfg.ndim,
-        cfg.sampling_scale)
+        cfg.sampling_mode, cfg.batch_size // n_dev, n_particles, cfg.ndim,
+        scale)
 
     val_batches = importance_val = None
     val_data = None
@@ -84,6 +106,7 @@ def main(cfg: PDEConfig):
         "spinx": vars(cfg.loss.spin),
     }[cfg.loss.name]
     method = get_evd_method(cfg.loss.name, apply, cfg.neigs, sort=cfg.sort,
+                            axis_name=("dp" if mesh is not None else None),
                             **method_opts)
 
     lr_schedule = (cosine_annealing(cfg.lr, cfg.num_iters)
@@ -115,7 +138,8 @@ def main(cfg: PDEConfig):
     spinx_refresh = None
     if cfg.loss.name == "spinx":
         def spinx_refresh(ts, key):
-            x = sample(key).reshape(cfg.batch_size, -1)
+            x = sample(key)
+            x = x.reshape(x.shape[0], -1)
             new_state = method.refresh_weights(
                 ts.params, ts.method_state, x, operator, importance_train)
             return ts._replace(method_state=new_state)
@@ -134,7 +158,7 @@ def main(cfg: PDEConfig):
         profile_dir=(os.path.join(log_dir, "profile") if cfg.profile
                      else None),
         profile_start=cfg.profile_start, profile_steps=cfg.profile_steps,
-        grad_clip=cfg.grad_clip)
+        grad_clip=cfg.grad_clip, mesh=mesh)
 
     np.savez(os.path.join(log_dir, "stats.npz"),
              all_eigvals=np.asarray(all_eigvals),

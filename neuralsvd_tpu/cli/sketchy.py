@@ -83,6 +83,8 @@ def get_args(argv=None):
     p.add_argument("--neuralsvd.set_first_mode_const", dest="nsvd_const",
                    type=lambda v: str(v).lower() in ("1", "true"),
                    default=True)
+    # parallelism: "" single device; "dp" all local devices; "dp=N"
+    p.add_argument("--mesh", type=str, default="")
     return p.parse_args(argv)
 
 
@@ -141,10 +143,23 @@ def run_training(args, train_loader, test_loader, valid_loader, input_dim):
         regularize_mode=args.regularize_mode)
     params = init(jax.random.key(args.seed))
 
+    mesh = None
+    if getattr(args, "mesh", ""):
+        from neuralsvd_tpu.parallel import make_mesh
+
+        n_dev = (len(jax.devices()) if args.mesh == "dp"
+                 else int(args.mesh.split("=", 1)[1]))
+        if args.batch_size % n_dev:
+            raise ValueError(f"batch_size {args.batch_size} must divide by "
+                             f"n_devices={n_dev} for dp sharding")
+        mesh = make_mesh(n_dev, axes=("dp",), shape=(n_dev,))
+        log.info("data-parallel mesh over %d devices", n_dev)
+
     method = get_cdk_method(args.loss_name, apply, args.neigs,
                             step=args.nsvd_step,
                             sequential=args.nsvd_sequential,
-                            set_first_mode_const=args.nsvd_const)
+                            set_first_mode_const=args.nsvd_const,
+                            axis_name=("dp" if mesh is not None else None))
     method_state = method.init_state(params)
 
     steps_per_epoch = train_loader.max_steps
@@ -159,7 +174,13 @@ def run_training(args, train_loader, test_loader, valid_loader, input_dim):
                                 weight_decay=args.weight_decay,
                                 lr_schedule=lr_schedule)
     opt_state = optimizer.init(params)
-    step_fn = make_cdk_train_step(method, optimizer, args.grad_clip)
+    if mesh is not None:
+        from neuralsvd_tpu.parallel.sharding import make_shard_map_cdk_step
+
+        step_fn = make_shard_map_cdk_step(method, optimizer, mesh,
+                                          grad_clip=args.grad_clip)
+    else:
+        step_fn = make_cdk_train_step(method, optimizer, args.grad_clip)
 
     retrieval_test = Retrieval(test_loader, n_retrievals=args.n_retrievals,
                                metric=args.metric,
@@ -193,6 +214,14 @@ def run_training(args, train_loader, test_loader, valid_loader, input_dim):
         losses = []
         rs_joint_last = rs_indep_last = None
         for x, y, cls in train_loader:
+            if mesh is not None and x.shape[0] % n_dev:
+                # dp shards need even division; drop the ragged tail of a
+                # short final batch (the real Sketchy loader always fills
+                # to batch_size — this only triggers on custom loaders)
+                m = (x.shape[0] // n_dev) * n_dev
+                if m == 0:
+                    continue
+                x, y = x[:m], y[:m]
             params, opt_state, method_state, loss, aux, skip_count = step_fn(
                 params, opt_state, method_state, jnp.asarray(x),
                 jnp.asarray(y), skip_count)

@@ -52,6 +52,36 @@ def get_sampler(sampling_mode: str, batch_size: int, n_particles: int,
 
         return sample, importance
 
+    if sampling_mode == "gaussian_mixture":
+        # sampling_scale: sequence of component std-devs (equal weights).
+        # A multi-scale mixture is the quadrature fix for problems whose
+        # eigenfunctions live on very different length scales (hydrogen:
+        # the 1s core at r~0.25 gets ~0.2% of a scale-16 Gaussian's
+        # samples; a tight component feeds it signal every batch).  The
+        # density is exact, so importance conjugation stays unbiased.
+        scales = np.asarray(sampling_scale, dtype=np.float32).ravel()
+        assert scales.size > 1, "gaussian_mixture needs >= 2 scales"
+        K = scales.size
+        scales_j = jnp.asarray(scales)
+        log_norms = -0.5 * d * np.log(2 * np.pi * scales ** 2)  # (K,)
+        log_norms_j = jnp.asarray(log_norms.astype(np.float32))
+
+        def sample(key):
+            kc, kn = jax.random.split(key)
+            comp = jax.random.randint(kc, (batch_size,), 0, K)
+            s = scales_j[comp][:, None]
+            return s * jax.random.normal(kn, shape)
+
+        def importance(x):
+            x = x.reshape(x.shape[0], -1)
+            r2 = jnp.sum(x ** 2, axis=-1, keepdims=True)  # (B, 1)
+            logps = (log_norms_j[None, :]
+                     - 0.5 * r2 / scales_j[None, :] ** 2)  # (B, K)
+            logp = jax.scipy.special.logsumexp(logps, axis=1) - np.log(K)
+            return jnp.exp(logp).reshape(-1, 1)
+
+        return sample, importance
+
     if sampling_mode == "uniform":
         def sample(key):
             return sampling_scale * (2 * jax.random.uniform(key, shape) - 1)

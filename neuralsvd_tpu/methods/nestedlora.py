@@ -103,8 +103,12 @@ class NestedLoRA:
             return lambda x: self.apply_fn(params, x)[:, idx]
         return lambda x: self.apply_fn(params, x)
 
+    def eval_apply(self, params, state, x):
+        """Stable eval entry (params traced under jit — no per-eval retrace)."""
+        return self.apply_fn(params, x)
+
     def eval_fn(self, params, state):
-        return lambda x: self.apply_fn(params, x)
+        return lambda x: self.eval_apply(params, state, x)
 
     # -- operator path (reference :254-267) ---------------------------------
     def loss_and_grad(self, params, state, x, operator, importance=None):

@@ -157,13 +157,17 @@ class NeuralEigenfunctions:
             out = out[:, jnp.asarray(self.sort_indices)]
         return out
 
-    def eval_fn(self, params, state):
+    def eval_apply(self, params, state, x):
+        """Stable eval entry (params/state traced — no per-eval retrace)."""
+        out = self.apply_fn(params, x)
         if self.batchnorm_mode == "none":
-            return lambda x: self.apply_fn(params, x)
+            return out
         key = ("norm_biased" if self.batchnorm_mode == "biased"
                else "norm_unbiased")
-        norm = state[key]
-        return lambda x: self.apply_fn(params, x) / norm
+        return out / state[key]
+
+    def eval_fn(self, params, state):
+        return lambda x: self.eval_apply(params, state, x)
 
     def register_norm(self, params, state, data, batch_size: int = 8192):
         """Calibrate the normalizer on a full dataset (exact, not EMA).

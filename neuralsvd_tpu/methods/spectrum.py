@@ -21,10 +21,34 @@ from scipy.linalg import eigh
 _HI = jax.lax.Precision.HIGHEST
 
 
+@partial(jax.jit, static_argnames=("eval_apply", "operator",
+                                   "importance_train", "importance_val",
+                                   "set_first_mode_const"))
+def _accumulate_evd_params(eval_apply, params, state, operator, x,
+                           importance_train, importance_val,
+                           set_first_mode_const: bool):
+    """Params-as-traced-arg accumulator: one compile per run.
+
+    ``eval_apply(params, state, x)`` is a stable (static) function — the
+    method's bound ``eval_apply`` — so periodic evals with fresh EMA params
+    hit the jit cache instead of retracing a new closure every eval_freq.
+    """
+    return _accumulate_evd_impl(lambda xx: eval_apply(params, state, xx),
+                                operator, x, importance_train,
+                                importance_val, set_first_mode_const)
+
+
 @partial(jax.jit, static_argnames=("f", "operator", "importance_train",
                                    "importance_val", "set_first_mode_const"))
 def _accumulate_evd(f, operator, x, importance_train, importance_val,
                     set_first_mode_const: bool):
+    """Legacy closure path: retraces when ``f`` is a fresh closure."""
+    return _accumulate_evd_impl(f, operator, x, importance_train,
+                                importance_val, set_first_mode_const)
+
+
+def _accumulate_evd_impl(f, operator, x, importance_train, importance_val,
+                         set_first_mode_const: bool):
     sqrt_ws_train = jnp.sqrt(importance_train(x)) if importance_train else 1.0
     sqrt_ws_val = jnp.sqrt(importance_val(x)) if importance_val else 1.0
     sqrt_ws = sqrt_ws_train / sqrt_ws_val
@@ -38,10 +62,13 @@ def _accumulate_evd(f, operator, x, importance_train, importance_val,
         Tphi = jnp.concatenate([ones, Tphi], axis=1)
     phi = jnp.nan_to_num(phi)
     Tphi = jnp.nan_to_num(Tphi)
-    # zero T(phi) at singular points x == 0 (e.g. Coulomb r=0;
-    # reference: methods/spectrum.py:73)
-    at_origin = jnp.all(jnp.isclose(x, 0.0), axis=1, keepdims=True)
-    Tphi = jnp.where(at_origin, 0.0, Tphi)
+    if getattr(operator, "singular_at_origin", False):
+        # zero T(phi) at the singular point x == 0 (Coulomb r=0; reference:
+        # methods/spectrum.py:73 — but gated on actual singularity here:
+        # the reference zeroes unconditionally, biasing smooth-potential
+        # Rayleigh quotients when the val grid contains the origin)
+        at_origin = jnp.all(jnp.isclose(x, 0.0), axis=1, keepdims=True)
+        Tphi = jnp.where(at_origin, 0.0, Tphi)
     cov = jnp.einsum("bl,bm->lm", phi, phi, precision=_HI)
     quad = jnp.einsum("bl,bm->lm", phi, Tphi, precision=_HI)
     return cov, quad, eigfuncs
@@ -60,16 +87,27 @@ def compute_spectrum_evd(
 ):
     """Returns dict with eigfuncs, cov, quad, eigvals (Rayleigh), norms.
 
-    ``dataloader`` yields x batches (arrays); ``f`` maps x -> (B, L).
+    ``dataloader`` yields x batches (arrays).  ``f`` is either a plain
+    callable x -> (B, L) (legacy; retraces per fresh closure) or a tuple
+    ``(eval_apply, params, state)`` with ``eval_apply(params, state, x)``
+    a stable function — the recompile-free path for periodic in-training
+    evals (params traced, one compile per run).
     """
     n = 0
     cov = 0.0
     quad = 0.0
     eigfuncs = []
+    as_tuple = isinstance(f, tuple)
     for x in dataloader:
         x = jnp.asarray(x)
-        c, q, ef = _accumulate_evd(f, operator, x, importance_train,
-                                   importance_val, set_first_mode_const)
+        if as_tuple:
+            eval_apply, params, state = f
+            c, q, ef = _accumulate_evd_params(
+                eval_apply, params, state, operator, x, importance_train,
+                importance_val, set_first_mode_const)
+        else:
+            c, q, ef = _accumulate_evd(f, operator, x, importance_train,
+                                       importance_val, set_first_mode_const)
         cov = cov + c
         quad = quad + q
         eigfuncs.append(np.asarray(ef))
@@ -143,6 +181,33 @@ def compute_spectrum_svd(apply_fn, dataloader, sort: bool = False,
         orth_x = orth_x[np.ix_(idx, idx)]
         orth_y = orth_y[np.ix_(idx, idx)]
     return spectrum, orth_x, orth_y
+
+
+def grouped_rayleigh(quad_diag, cov_diag, group_sizes):
+    """Degeneracy-aware Rayleigh estimates.
+
+    Within a degenerate eigenspace the learned modes converge to an
+    arbitrary rotation of the true eigenfunctions, so individual Rayleigh
+    quotients spread around the common eigenvalue; the pooled group
+    estimate tr(quad_G)/tr(cov_G) is invariant to that rotation (trace of
+    the group block).  Modes are ordered by their individual quotients and
+    grouped by the problem's known degeneracy structure
+    (operators/ground_truths.py get_degeneracy).
+
+    Args: diagonals of the quad/cov accumulators (L,), group sizes summing
+    to <= L.  Returns per-mode pooled estimates (L,), sorted descending.
+    """
+    quad_diag = np.asarray(quad_diag, dtype=np.float64)
+    cov_diag = np.asarray(cov_diag, dtype=np.float64)
+    rayleigh = quad_diag / cov_diag
+    order = np.argsort(rayleigh)[::-1]
+    out = np.array(rayleigh, dtype=np.float64)
+    start = 0
+    for gsize in group_sizes:
+        idx = order[start:start + int(gsize)]
+        out[idx] = quad_diag[idx].sum() / cov_diag[idx].sum()
+        start += int(gsize)
+    return np.sort(out)[::-1]
 
 
 def post_alignment(eigfuncs, cov, quad):

@@ -170,14 +170,13 @@ class SpIN:
         new_state = {"sigma_avg": sigma_avg, "chol": chol, "j_avg": j_avg}
         return loss, grads, dict(f=phi1, Tf=Kphi1, eigvals=eigvals), new_state
 
-    def eval_fn(self, params, state):
+    def eval_apply(self, params, state, x):
         """Orthonormalized eigenfunctions via triangular solve against the
-        stored Cholesky (reference: methods/spin.py:209-215)."""
-        chol = state["chol"]
+        stored Cholesky (reference: methods/spin.py:209-215).  Stable eval
+        entry: params/state traced — no per-eval retrace."""
+        out = self.apply_fn(params, x)
+        return jax.scipy.linalg.solve_triangular(
+            state["chol"], out.T, lower=True).T
 
-        def f(x):
-            out = self.apply_fn(params, x)
-            return jax.scipy.linalg.solve_triangular(
-                chol, out.T, lower=True).T
-
-        return f
+    def eval_fn(self, params, state):
+        return lambda x: self.eval_apply(params, state, x)

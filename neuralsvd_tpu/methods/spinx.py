@@ -136,11 +136,10 @@ class SpINx:
         new_state["weights"] = jax.lax.stop_gradient(weights)
         return new_state
 
+    def eval_apply(self, params, state, x):
+        out = self.apply_fn(params, x)
+        return jax.scipy.linalg.solve_triangular(
+            state["chol"], out.T, lower=True).T
+
     def eval_fn(self, params, state):
-        chol = state["chol"]
-
-        def f(x):
-            out = self.apply_fn(params, x)
-            return jax.scipy.linalg.solve_triangular(chol, out.T, lower=True).T
-
-        return f
+        return lambda x: self.eval_apply(params, state, x)

@@ -20,6 +20,7 @@ def make_fourier_features(
     append_raw: bool = False,
     seed: int = 0,
     append_radial: bool = False,
+    append_envelopes=(),
     n_particles: int = 1,
 ):
     """Returns ``(init, apply)``; ``apply.feature_dim`` gives the output dim.
@@ -33,6 +34,12 @@ def make_fourier_features(
     nuclei that no smooth feature of x can represent, but every hydrogenic
     eigenfunction is smooth in (r, angles) — exposing r makes e^{-βr}
     representable and removes the dominant ground-state bias.
+
+    ``append_envelopes``: decay rates κ_k; concatenates per-particle
+    ``exp(-κ_k·‖x_p‖)`` features.  For hydrogenic problems the exact
+    asymptotic envelopes are κ_n = Z/(n+1/2) (2D) — giving the network the
+    shell envelopes as *inputs* lets every mode combine them linearly,
+    strictly more flexible than a multiplicative output mask.
     """
     if deterministic:
         B = scale * np.concatenate(
@@ -44,8 +51,10 @@ def make_fourier_features(
         B = 2 * np.pi * scale * rng.standard_normal((input_dim, mapping_size))
         eff_mapping = mapping_size
     B = jnp.asarray(B, dtype=jnp.float32)
+    kappas = np.asarray(tuple(append_envelopes), dtype=np.float32)
     feature_dim = (2 * eff_mapping + (input_dim if append_raw else 0)
-                   + (n_particles if append_radial else 0))
+                   + (n_particles if append_radial else 0)
+                   + n_particles * len(kappas))
 
     def init(key):
         return {}
@@ -56,10 +65,15 @@ def make_fourier_features(
         feats = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
         if append_raw:
             feats = jnp.concatenate([feats, x], axis=-1)
-        if append_radial:
+        if append_radial or len(kappas):
             per_particle = x.reshape(x.shape[0], n_particles, -1)
             r = jnp.sqrt(jnp.sum(per_particle ** 2, axis=-1) + 1e-12)
-            feats = jnp.concatenate([feats, r], axis=-1)
+            if append_radial:
+                feats = jnp.concatenate([feats, r], axis=-1)
+            if len(kappas):
+                env = jnp.exp(-r[:, :, None] * jnp.asarray(kappas))
+                feats = jnp.concatenate(
+                    [feats, env.reshape(x.shape[0], -1)], axis=-1)
         return feats
 
     apply.feature_dim = feature_dim

@@ -121,26 +121,47 @@ def make_hetero_network(
     nonlinearity: str = "lrelu0.2",
     mu: float = 1.0,
     regularize_mode: str = "l2_ball",
+    num_classes: int = 0,
 ):
     """Two independent MLP towers; apply(params, x, y) -> (fx, fy).
 
     ``apply_single(params, x, 'x'|'y')`` embeds one side (used at retrieval
     time).  Output rows are normalized to the sqrt(mu)-ball (the CDK loss's
     boundedness constraint).
+
+    ``num_classes > 0`` adds per-side online linear classifier heads over
+    the (stop_gradient'ed) embeddings: ``apply_single(..., classify=True)``
+    returns (emb, logits) (reference: siam.py:139-166 ``online_heads`` /
+    ``forward_single(classify=True)``).
     """
     sizes = [input_dim] + list(network_dims)
     x_init, x_apply = make_mlp(sizes, nonlinearity, bias=True)
     y_init, y_apply = make_mlp(sizes, nonlinearity, bias=True)
     r_up = float(jnp.sqrt(mu))
     towers = {"x": x_apply, "y": y_apply}
+    head_init = head_apply = None
+    if num_classes > 0:
+        head_init, head_apply = make_mlp([network_dims[-1], num_classes],
+                                         bias=True)
 
     def init(key):
-        kx, ky = jax.random.split(key)
-        return {"x": x_init(kx), "y": y_init(ky)}
+        kx, ky, khx, khy = jax.random.split(key, 4)
+        params = {"x": x_init(kx), "y": y_init(ky)}
+        if head_init is not None:
+            params["head_x"] = head_init(khx)
+            params["head_y"] = head_init(khy)
+        return params
 
-    def apply_single(params, v, side):
+    def apply_single(params, v, side, classify: bool = False):
         emb = towers[side](params[side], v)
-        return normalize_embedding(emb, r_up, regularize_mode)
+        emb = normalize_embedding(emb, r_up, regularize_mode)
+        if classify:
+            if head_apply is None:
+                raise ValueError("built without num_classes: no online heads")
+            logits = head_apply(params[f"head_{side}"],
+                                jax.lax.stop_gradient(emb))
+            return emb, logits
+        return emb
 
     def apply(params, x, y):
         return apply_single(params, x, "x"), apply_single(params, y, "y")

@@ -93,6 +93,7 @@ def make_wavefunctions(
     fourier_deterministic: bool = False,
     fourier_append_raw: bool = False,
     fourier_append_radial: bool = False,
+    fourier_append_envelopes=(),
     fourier_seed: int = 0,
     apply_boundary: bool = True,
     boundary_mode: str = "dir_box_sqrt",
@@ -117,6 +118,7 @@ def make_wavefunctions(
             deterministic=fourier_deterministic,
             append_raw=fourier_append_raw,
             append_radial=fourier_append_radial,
+            append_envelopes=fourier_append_envelopes,
             n_particles=n_particles,
             seed=fourier_seed,
         )

@@ -16,6 +16,12 @@ class OperatorWrapper:
         self.scale = scale
         self.shift = shift
 
+    @property
+    def singular_at_origin(self) -> bool:
+        """Forwarded from the wrapped operator (spectrum eval zeroes
+        T(phi) at the origin only for singular potentials)."""
+        return getattr(self.operator, "singular_at_origin", False)
+
     def __call__(self, f, x, importance=None):
         Tf, fs = self.operator(f, x, importance)
         return self.scale * Tf + self.shift * fs, fs

@@ -131,6 +131,13 @@ def get_problem(
             laplacian_eps=laplacian_eps,
             n_particles=n_particles,
         )
+        # the spectrum eval zeroes T(phi) at x == 0 only for potentials
+        # actually singular there (the reference zeroes unconditionally,
+        # methods/spectrum.py:73, which biases smooth-potential Rayleigh
+        # quotients whenever the val grid contains the origin — e.g. ~6%
+        # low on the 1D oscillator ground state)
+        operator.singular_at_origin = potential_type in (
+            "hydrogen", "quantum_chemistry")
     elif problem == "fp":
         assert ndim in (1, 2, 5, 10)
         ground_truth = np.asarray([0.0] * neigs)

@@ -103,48 +103,52 @@ def make_sharded_train_step(step_fn, mesh: Mesh, ts, tp_axis: str = "tp"):
 def make_shard_map_train_step(method, operator, optimizer, sampler,
                               mesh: Mesh, importance=None,
                               ema_decay: float = 0.99,
-                              dp_axis: str = "dp"):
-    """Explicit DP: per-device sampling + psum'd Grams via shard_map.
+                              dp_axis: str = "dp",
+                              grad_clip: float = 0.0,
+                              monitor: bool = False,
+                              steps_per_call: Optional[int] = None):
+    """Explicit DP: per-device sampling + psum'd grads via shard_map.
 
-    The method must be constructed with ``axis_name=dp_axis``.  Params and
-    all optimizer state are replicated; each device draws an independent
-    batch shard by folding its axis index into the key.
+    Wraps the full-featured fused step (``make_train_step(dp_axis=...)``:
+    finite-skip, clip, EMA, monitor stats) in shard_map over ``dp_axis``.
+    The method must be constructed with ``axis_name=dp_axis`` so the loss
+    Grams pmean inside the custom VJP; the step psums param grads (partial
+    sums over local rows with global-batch normalization) before the skip
+    logic, keeping replicas in lockstep.  Params and optimizer state are
+    replicated; each device draws an independent local batch of the
+    sampler's size by folding its axis index into the key (global batch =
+    n_devices x sampler batch).
+
+    ``steps_per_call=None`` -> jitted (ts, key) -> (ts, metrics);
+    ``steps_per_call=k`` -> device-resident scan, jitted
+    (ts, base_key, start) -> (ts, metric traces of length k).
     """
-    import jax.numpy as jnp
-    import optax
-
-    from jax.sharding import PartitionSpec
-    from neuralsvd_tpu.training.train_state import TrainState, ema_update
-
-    shard_map = jax.shard_map
-
-    def per_device_step(ts: TrainState, key):
-        idx = jax.lax.axis_index(dp_axis)
-        key = jax.random.fold_in(key, idx)
-        x = sampler(key)
-        x = x.reshape(x.shape[0], -1)
-        loss, grads, aux, method_state = method.loss_and_grad(
-            ts.params, ts.method_state, x, operator, importance)
-        # The loss's custom VJP normalizes per-row cotangents by the GLOBAL
-        # batch (ops/nestedlora.py _axis_scale), but each device's param
-        # gradient only sums its local rows — psum completes the global sum
-        # (pmean here would scale gradients by 1/n_devices).
-        grads = jax.lax.psum(grads, dp_axis)
-        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
-        params = optax.apply_updates(ts.params, updates)
-        ema_params = ema_update(ts.ema_params, params, ema_decay)
-        method_state = jax.lax.pmean(method_state, dp_axis)
-        new_ts = TrainState(step=ts.step + 1, params=params,
-                            opt_state=opt_state, ema_params=ema_params,
-                            method_state=method_state)
-        return new_ts, jax.lax.pmean(loss, dp_axis)
-
-    mapped = shard_map(
-        per_device_step, mesh=mesh,
-        in_specs=(PartitionSpec(), PartitionSpec()),
-        out_specs=(PartitionSpec(), PartitionSpec()),
-        check_vma=False,
+    from neuralsvd_tpu.training.train_operator import (
+        make_scanned_train_step,
+        make_train_step,
     )
+
+    if getattr(method, "axis_name", None) != dp_axis:
+        raise ValueError(
+            f"method.axis_name={getattr(method, 'axis_name', None)!r} "
+            f"must equal dp_axis={dp_axis!r} for shard_map DP training")
+
+    P = jax.sharding.PartitionSpec
+    if steps_per_call is None:
+        fn = make_train_step(method, operator, optimizer, sampler,
+                             importance=importance, ema_decay=ema_decay,
+                             monitor=monitor, grad_clip=grad_clip,
+                             dp_axis=dp_axis)
+        in_specs = (P(), P())
+    else:
+        fn = make_scanned_train_step(method, operator, optimizer, sampler,
+                                     importance=importance,
+                                     ema_decay=ema_decay,
+                                     steps_per_call=steps_per_call,
+                                     grad_clip=grad_clip, dp_axis=dp_axis)
+        in_specs = (P(), P(), P())
+    mapped = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                           out_specs=(P(), P()), check_vma=False)
     return jax.jit(mapped)
 
 

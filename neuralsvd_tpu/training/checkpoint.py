@@ -38,6 +38,53 @@ def load_checkpoint(path: str, target: Optional[Any] = None):
     return ckptr.restore(path)
 
 
+def load_pretrained(path: str, params_template: Any,
+                    strip_prefixes: tuple = ("module.", "backbone.")):
+    """Restore model params from a (possibly larger) stored checkpoint.
+
+    Reference: examples/models/builder.py:14-39 (``load_checkpoint`` with
+    DataParallel key fixup, ``tools/generic.py:132-139``).  The JAX analog
+    of the ``module.``-prefix fixup: the stored dict may nest the params
+    under wrapper keys (e.g. a full TrainState with ``params``/
+    ``ema_params``); dict keys matching ``strip_prefixes`` (or a top-level
+    ``params`` entry) are unwrapped until the template structure matches.
+    Missing leaves raise (the reference asserts no missing keys); extra
+    stored entries are ignored (strict=False).
+    """
+    restored = load_checkpoint(path)
+    template_struct = jax.tree.structure(params_template)
+
+    def unwrap(d):
+        if jax.tree.structure(d) == template_struct:
+            return d
+        if isinstance(d, dict):
+            for key in ("params", "ema_params", "model"):
+                if key in d:
+                    try:
+                        return unwrap(d[key])
+                    except KeyError:
+                        pass
+            stripped = {}
+            for k, v in d.items():
+                for p in strip_prefixes:
+                    if isinstance(k, str) and k.startswith(p):
+                        k = k[len(p):]
+                        break
+                stripped[k] = v
+            if set(stripped) != set(d):
+                return unwrap(stripped)
+        raise KeyError(
+            f"checkpoint at {path} does not contain the requested params "
+            f"(template structure: {template_struct})")
+
+    import jax.numpy as jnp
+
+    found = unwrap(restored)
+    return jax.tree.map(lambda t, v: jnp.asarray(v, dtype=t.dtype)
+                        if hasattr(t, "dtype") else v,
+                        params_template, found)
+
+
 def latest_checkpoint(log_dir: str, prefix: str = "ckpt_") -> Optional[str]:
     """Find the highest-step checkpoint dir named ``{prefix}{step}``."""
     if not os.path.isdir(log_dir):

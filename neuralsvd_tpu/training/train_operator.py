@@ -45,6 +45,7 @@ def make_train_step(
     ema_decay: float = 0.99,
     monitor: bool = False,
     grad_clip: float = 0.0,
+    dp_axis: Optional[str] = None,
 ):
     """Build the fused train step: (TrainState, key) -> (TrainState, metrics).
 
@@ -54,13 +55,28 @@ def make_train_step(
     global gradient norm — near-singular potentials (Coulomb −Z/r under
     Gaussian sampling) occasionally produce huge local energies whose
     gradient spikes destabilize long runs.
+
+    ``dp_axis``: when set, the step is a per-device program for
+    ``shard_map`` data parallelism (the method must be built with the same
+    ``axis_name``): each device folds its axis index into the key and draws
+    an independent local batch; param grads are psum-completed across
+    devices BEFORE the finite/skip/clip logic so every replica takes the
+    identical update (a per-device skip decision would silently de-sync
+    replicas).
     """
 
     def step(ts: TrainState, key) -> tuple:
+        if dp_axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(dp_axis))
         x = sampler(key)
         x = x.reshape(x.shape[0], -1)
         loss, grads, aux, method_state = method.loss_and_grad(
             ts.params, ts.method_state, x, operator, importance)
+        if dp_axis is not None:
+            # per-device grads are partial sums over local rows normalized
+            # by the global batch (ops/nestedlora.py _axis_scale)
+            grads = jax.lax.psum(grads, dp_axis)
+            method_state = jax.lax.pmean(method_state, dp_axis)
         gnorm = optax.global_norm(grads)
         finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
         if grad_clip > 0:
@@ -85,6 +101,11 @@ def make_train_step(
             sqnorms = f * f
             metrics["quad_stats"] = _batch_stats(quadforms)
             metrics["sqnorm_stats"] = _batch_stats(sqnorms)
+            if dp_axis is not None:  # mean of per-device percentile stats
+                metrics["quad_stats"] = jax.lax.pmean(
+                    metrics["quad_stats"], dp_axis)
+                metrics["sqnorm_stats"] = jax.lax.pmean(
+                    metrics["sqnorm_stats"], dp_axis)
         new_ts = TrainState(step=ts.step + 1, params=params,
                             opt_state=opt_state, ema_params=ema_params,
                             method_state=method_state)
@@ -96,20 +117,25 @@ def make_train_step(
 def make_scanned_train_step(method, operator, optimizer, sampler,
                             importance=None, ema_decay: float = 0.99,
                             steps_per_call: int = 100,
-                            grad_clip: float = 0.0):
+                            grad_clip: float = 0.0,
+                            dp_axis: Optional[str] = None):
     """Device-resident multi-step: lax.scan over the fused train step.
 
     Amortizes host dispatch (critical on high-latency links) and lets XLA
-    overlap steps.  Returns (TrainState, base_key) -> (TrainState, losses)
-    where losses is the (steps_per_call,) loss trace.
+    overlap steps.  Returns (TrainState, base_key[, start]) ->
+    (TrainState, metrics) where each metric is a (steps_per_call,) trace;
+    ``start`` offsets the PRNG fold index so consecutive blocks consume the
+    same key stream as the per-step driver (fold_in(base_key, global_it)).
     """
     step = make_train_step(method, operator, optimizer, sampler,
                            importance=importance, ema_decay=ema_decay,
-                           monitor=False, grad_clip=grad_clip)
+                           monitor=False, grad_clip=grad_clip,
+                           dp_axis=dp_axis)
 
-    def run(ts: TrainState, base_key):
+    def run(ts: TrainState, base_key, start=0):
         def body(carry, i):
-            new_ts, metrics = step(carry, jax.random.fold_in(base_key, i))
+            new_ts, metrics = step(carry, jax.random.fold_in(base_key,
+                                                             start + i))
             return new_ts, metrics
 
         return jax.lax.scan(body, ts, jnp.arange(steps_per_call))
@@ -164,8 +190,15 @@ def train_operator(
     profile_start: int = 100,
     profile_steps: int = 20,
     grad_clip: float = 0.0,
+    mesh=None,
+    dp_axis: str = "dp",
 ):
     """Host driver: runs the jitted step, periodic EMA eval + checkpointing.
+
+    ``mesh``: a jax.sharding.Mesh with a ``dp_axis`` axis enables explicit
+    data-parallel training via shard_map (the method must be built with
+    ``axis_name=dp_axis``; the sampler's batch is PER DEVICE, so the global
+    batch is n_devices x sampler batch).
 
     With ``profile_dir`` set, a ``jax.profiler`` trace of
     ``profile_steps`` iterations starting at ``profile_start`` is written
@@ -176,11 +209,6 @@ def train_operator(
     """
     from neuralsvd_tpu.methods.spectrum import compute_spectrum_evd
     from neuralsvd_tpu.training.ewm import EWMMonitor
-
-    step_fn = jax.jit(make_train_step(
-        method, operator, optimizer, sampler,
-        importance=importance_train, ema_decay=ema_decay, monitor=monitor,
-        grad_clip=grad_clip))
 
     ts = init_train_state(init_params, optimizer, method)
     base_key = jax.random.key(seed)
@@ -193,50 +221,105 @@ def train_operator(
         monitors_quad = [EWMMonitor() for _ in range(method.neigs)]
         monitors_sqnorm = [EWMMonitor() for _ in range(method.neigs)]
 
+    # Production hot loop: lax.scan blocks of print_freq steps — device
+    # -resident multi-step, one host dispatch + one metrics transfer per
+    # block (the benched fast path, now the driver's path).  The per-step
+    # path remains for monitor=True (EWM needs per-step (9, L) stats) and
+    # for block remainders.
+    use_scan = not monitor and num_iters >= print_freq > 1
+    if mesh is not None:
+        from neuralsvd_tpu.parallel.sharding import make_shard_map_train_step
+
+        step_fn = make_shard_map_train_step(
+            method, operator, optimizer, sampler, mesh,
+            importance=importance_train, ema_decay=ema_decay,
+            dp_axis=dp_axis, grad_clip=grad_clip, monitor=monitor)
+        scan_fn = None
+        if use_scan:
+            scan_fn = make_shard_map_train_step(
+                method, operator, optimizer, sampler, mesh,
+                importance=importance_train, ema_decay=ema_decay,
+                dp_axis=dp_axis, grad_clip=grad_clip,
+                steps_per_call=print_freq)
+    else:
+        step_fn = jax.jit(make_train_step(
+            method, operator, optimizer, sampler,
+            importance=importance_train, ema_decay=ema_decay, monitor=monitor,
+            grad_clip=grad_clip))
+        scan_fn = None
+        if use_scan:
+            scan_fn = jax.jit(make_scanned_train_step(
+                method, operator, optimizer, sampler,
+                importance=importance_train, ema_decay=ema_decay,
+                steps_per_call=print_freq, grad_clip=grad_clip))
+
+    def run_eval(it_done, last_key):
+        nonlocal ts
+        outputs = compute_spectrum_evd(
+            (method.eval_apply, ts.ema_params, ts.method_state),
+            val_batches(), operator,
+            importance_train=importance_train,
+            importance_val=importance_val,
+            post_align=post_align, normalize=normalize)
+        all_eigvals.append(outputs["eigvals"])
+        all_norms.append(outputs["norms"])
+        log.info("it%d eigvals: %s", it_done, outputs["eigvals"])
+        if checkpoint_fn is not None:
+            checkpoint_fn(ts, it_done, outputs)
+        if spinx_refresh is not None:
+            ts = spinx_refresh(ts, last_key)
+
     all_eigvals, all_norms = [], []
-    total_loss = 0.0
+    total_skips = 0
     start = time.time()
-    for it in range(num_iters):
-        if profile_dir is not None:
-            if it == profile_start:
-                jax.block_until_ready(ts.params)
-                jax.profiler.start_trace(profile_dir)
-            elif it == profile_start + profile_steps:
-                jax.block_until_ready(ts.params)
-                jax.profiler.stop_trace()
-                log.info("profiler trace written to %s", profile_dir)
-        key = jax.random.fold_in(base_key, it)
-        ts, metrics = step_fn(ts, key)
-        if monitor:
-            qs = np.asarray(metrics["quad_stats"])
-            ns = np.asarray(metrics["sqnorm_stats"])
-            for i in range(method.neigs):
-                monitors_quad[i].update_stats(qs[:, i])
-                monitors_sqnorm[i].update_stats(ns[:, i])
-        if (it + 1) % print_freq == 0:
+    it = 0
+    profiling = False
+    while it < num_iters:
+        if profile_dir is not None and not profiling and it >= profile_start:
+            jax.block_until_ready(ts.params)
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
+            profile_end = it + profile_steps
+        n = print_freq - (it % print_freq)  # steps to the next boundary
+        n = min(n, num_iters - it)
+        if use_scan and n == print_freq:
+            ts, metrics = scan_fn(ts, base_key, it)
+            loss_v = float(metrics["loss"][-1])
+            total_skips += int(np.asarray(metrics["skipped"]).sum())
+            key = jax.random.fold_in(base_key, it + n - 1)
+        else:
+            for j in range(n):
+                key = jax.random.fold_in(base_key, it + j)
+                ts, metrics = step_fn(ts, key)
+                if monitor:
+                    qs = np.asarray(metrics["quad_stats"])
+                    ns = np.asarray(metrics["sqnorm_stats"])
+                    for i in range(method.neigs):
+                        monitors_quad[i].update_stats(qs[:, i])
+                        monitors_sqnorm[i].update_stats(ns[:, i])
             loss_v = float(metrics["loss"])
-            total_loss += loss_v
+            total_skips += int(metrics["skipped"])
+        it += n
+        if profiling and it >= profile_end:
+            jax.block_until_ready(ts.params)
+            jax.profiler.stop_trace()
+            profiling = False
+            profile_dir = None
+            log.info("profiler trace written")
+        if it % print_freq == 0 or it == num_iters:
             elapsed = time.time() - start
-            row = {"iter": it + 1, "train_loss": loss_v,
-                   "time": elapsed, "steps_per_sec": (it + 1) / elapsed}
+            row = {"iter": it, "train_loss": loss_v,
+                   "time": elapsed, "steps_per_sec": it / elapsed}
+            if total_skips:
+                row["skips"] = total_skips
             log.info("%s", row)
             if log_writer is not None:
-                log_writer.writerow(row)
-        if val_batches is not None and (it + 1) % eval_freq == 0:
-            eval_f = method.eval_fn(ts.ema_params, ts.method_state)
-            outputs = compute_spectrum_evd(
-                eval_f, val_batches(), operator,
-                importance_train=importance_train,
-                importance_val=importance_val,
-                post_align=post_align, normalize=normalize)
-            all_eigvals.append(outputs["eigvals"])
-            all_norms.append(outputs["norms"])
-            log.info("it%d eigvals: %s", it + 1, outputs["eigvals"])
-            if checkpoint_fn is not None:
-                checkpoint_fn(ts, it + 1, outputs)
-            if spinx_refresh is not None:
-                ts = spinx_refresh(ts, key)
-    if profile_dir is not None and profile_start < num_iters <= (
-            profile_start + profile_steps):
+                log_writer.writerow(
+                    {k: row.get(k) for k in
+                     ("iter", "train_loss", "time", "steps_per_sec")})
+        if val_batches is not None and (it // eval_freq) > ((it - n) //
+                                                           eval_freq):
+            run_eval(it, key)
+    if profiling:
         jax.profiler.stop_trace()  # loop ended inside the trace window
     return ts, all_eigvals, all_norms

@@ -87,14 +87,22 @@ class PDEConfig:
     fourier_deterministic: bool = False
     fourier_append_raw: bool = False
     fourier_append_radial: bool = False  # per-particle ‖x‖ cusp features
+    fourier_append_envelopes: str = ""   # comma κ list: e^{-κ‖x‖} features
     apply_boundary: bool = True
     boundary_mode: str = "dir_box_sqrt"
     apply_exp_mask: bool = False
     exp_mask_init_scale: float = 1000.0
     # sampling / validation
-    sampling_mode: str = "gaussian"
+    sampling_mode: str = "gaussian"  # gaussian | laplacian | uniform |
+    # gaussian_mixture (multi-scale; set sampling_scales)
     sampling_scale: float = 16.0
+    sampling_scales: str = ""  # comma list for gaussian_mixture
     val_eps: float = 0.1
+    # parallelism: "" = single device; "dp" = all local devices on a data
+    # -parallel mesh axis; "dp=N" = N devices.  batch_size stays the GLOBAL
+    # batch (split across devices; must divide by 2*n_devices to keep the
+    # metric half-batches even).
+    mesh: str = ""
     # misc
     sort: bool = False
     post_align: bool = False
@@ -189,7 +197,8 @@ def run_name(cfg: PDEConfig) -> str:
         f"_p{int(cfg.parallel)}_bdd{int(cfg.apply_boundary)}"
         f"_lap{cfg.laplacian_eps}"
         f"_fourier{int(cfg.use_fourier_feature)}"
-        f"_{cfg.sampling_mode},scale{cfg.sampling_scale}"
+        f"_{cfg.sampling_mode},scale{cfg.sampling_scales or cfg.sampling_scale}"
+        f"{('_mesh' + cfg.mesh) if cfg.mesh else ''}"
         f"_bs{cfg.batch_size}_niters{cfg.num_iters}"
         f"_{cfg.optimizer}_lr{cfg.lr}_ema{cfg.ema_decay}_seed{cfg.seed}"
     )

@@ -189,7 +189,8 @@ def test_shard_map_train_step_matches_single_device():
                                         mesh=mesh, ema_decay=0.9)
     ts0 = init_train_state(params, opt, method_dp)
     key = jax.random.key(7)
-    ts_dp, loss_dp = step_dp(ts0, key)
+    ts_dp, m_dp = step_dp(ts0, key)
+    loss_dp = m_dp["loss"]
 
     # reconstruct the global batch in half-consistent order
     locals_ = [sampler(jax.random.fold_in(key, d)) for d in range(n_dev)]
