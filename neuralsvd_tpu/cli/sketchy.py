@@ -91,11 +91,20 @@ def get_args(argv=None):
 def make_cdk_train_step(method, optimizer, grad_clip: float = 0.0):
     """Jitted CDK step with nan/inf grad skipping (reference:
     main_sketchy.py:194-207 counts AMP skips; here any non-finite update is
-    dropped and counted)."""
+    dropped and counted).
+
+    The density-ratio diagnostics rs_joint/rs_indep are dropped from the
+    returned aux: they require the full (B, B) f(x)ᵀg(y) gram (~16x the
+    rest of the loss's FLOPs at B=2048, 67 MB at the paper's B=4096) but
+    feed only a once-per-epoch histogram — excluding them from the jitted
+    outputs lets XLA dead-code-eliminate the gram from the hot step
+    entirely.  Use :func:`make_density_ratio_fn` for the periodic
+    diagnostic."""
 
     def step(params, opt_state, method_state, x, y, skip_count):
         loss, grads, aux, method_state = method.loss_and_grad(
             params, method_state, x, y)
+        aux = {k: v for k, v in aux.items() if not k.startswith("rs_")}
         if grad_clip > 0:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
@@ -114,6 +123,25 @@ def make_cdk_train_step(method, optimizer, grad_clip: float = 0.0):
         return params, opt_state, method_state, loss, aux, skip_count
 
     return jax.jit(step)
+
+
+def make_density_ratio_fn(apply_fn, set_first_mode_const: bool):
+    """Once-per-epoch density-ratio diagnostic: (params, x, y) ->
+    (rs_joint, rs_indep), the diagonal / off-diagonal of the (B, B)
+    f(x)ᵀg(y) gram (reference: methods/nestedlora.py:303-306)."""
+    from neuralsvd_tpu.ops.gram import off_diagonal
+
+    @jax.jit
+    def rs(params, x, y):
+        fx, gy = apply_fn(params, x, y)
+        if set_first_mode_const:
+            ones = jnp.ones((fx.shape[0], 1), fx.dtype)
+            fx = jnp.concatenate([ones, fx], axis=1)
+            gy = jnp.concatenate([ones, gy], axis=1)
+        gram = jnp.einsum("bl,cl->bc", fx, gy)
+        return jnp.diagonal(gram), off_diagonal(gram)
+
+    return rs
 
 
 def main(args):
@@ -181,6 +209,7 @@ def run_training(args, train_loader, test_loader, valid_loader, input_dim):
                                           grad_clip=args.grad_clip)
     else:
         step_fn = make_cdk_train_step(method, optimizer, args.grad_clip)
+    rs_fn = make_density_ratio_fn(apply, args.nsvd_const)
 
     retrieval_test = Retrieval(test_loader, n_retrievals=args.n_retrievals,
                                metric=args.metric,
@@ -212,7 +241,7 @@ def run_training(args, train_loader, test_loader, valid_loader, input_dim):
         if args.eval_only:
             break
         losses = []
-        rs_joint_last = rs_indep_last = None
+        last_batch = None
         for x, y, cls in train_loader:
             if mesh is not None and x.shape[0] % n_dev:
                 # dp shards need even division; drop the ragged tail of a
@@ -226,7 +255,7 @@ def run_training(args, train_loader, test_loader, valid_loader, input_dim):
                 params, opt_state, method_state, jnp.asarray(x),
                 jnp.asarray(y), skip_count)
             losses.append(float(loss))
-            rs_joint_last, rs_indep_last = aux["rs_joint"], aux["rs_indep"]
+            last_batch = (x, y)
 
         model_x = lambda v: apply_single(params, v, "x")
         model_y = lambda v: apply_single(params, v, "y")
@@ -258,10 +287,11 @@ def run_training(args, train_loader, test_loader, valid_loader, input_dim):
             "epoch": epoch + 1,
             "best_valid_pk": best_valid_pk,
         })
-        if rs_joint_last is not None:
-            plot_hist_ratios(np.asarray(rs_joint_last),
-                             np.asarray(rs_indep_last), args.log_dir,
-                             tag=f"e{epoch}")
+        if last_batch is not None:
+            rs_joint, rs_indep = rs_fn(params, jnp.asarray(last_batch[0]),
+                                       jnp.asarray(last_batch[1]))
+            plot_hist_ratios(np.asarray(rs_joint), np.asarray(rs_indep),
+                             args.log_dir, tag=f"e{epoch}")
 
     # final: spectrum/orthogonality + truncation sweep on best params
     params = best_params

@@ -133,7 +133,6 @@ def make_shard_map_train_step(method, operator, optimizer, sampler,
             f"method.axis_name={getattr(method, 'axis_name', None)!r} "
             f"must equal dp_axis={dp_axis!r} for shard_map DP training")
 
-    P = jax.sharding.PartitionSpec
     if steps_per_call is None:
         fn = make_train_step(method, operator, optimizer, sampler,
                              importance=importance, ema_decay=ema_decay,
@@ -166,9 +165,10 @@ def make_shard_map_cdk_step(method, optimizer, mesh: Mesh,
         step(params, opt_state, method_state, x, y, skip_count)
           -> (params, opt_state, method_state, loss, aux, skip_count)
 
-    aux's per-sample diagnostics (f, g, rs_joint, rs_indep) come back as
-    the concatenation of per-device shards (global batch order for f/g/
-    rs_joint; rs_indep covers within-shard off-diagonals only).
+    aux's per-sample diagnostics (f, g) come back as the concatenation of
+    per-device shards (global batch order).  The O(B²) density-ratio
+    diagnostics are dropped from the hot step (XLA DCEs the (B, B) gram);
+    use cli.sketchy.make_density_ratio_fn for the periodic histogram.
     """
     import jax.numpy as jnp
     import optax
@@ -181,6 +181,7 @@ def make_shard_map_cdk_step(method, optimizer, mesh: Mesh,
     def per_device_step(params, opt_state, method_state, x, y, skip_count):
         loss, grads, aux, method_state = method.loss_and_grad(
             params, method_state, x, y)
+        aux = {k: v for k, v in aux.items() if not k.startswith("rs_")}
         # The CDK VJP normalizes per-row cotangents by the GLOBAL batch;
         # each device's param gradient sums only its local pairs — psum
         # completes the global sum (pmean would scale by 1/n_devices).
@@ -206,11 +207,9 @@ def make_shard_map_cdk_step(method, optimizer, mesh: Mesh,
         return (params, opt_state, method_state,
                 jax.lax.pmean(loss, dp_axis), aux, skip_count)
 
-    P = PartitionSpec = jax.sharding.PartitionSpec
     rep = P()
     dp = P(dp_axis)
-    aux_specs = dict(f=dp, g=dp, loss_operator=rep, loss_metric=rep,
-                     rs_joint=dp, rs_indep=dp)
+    aux_specs = dict(f=dp, g=dp, loss_operator=rep, loss_metric=rep)
     mapped = jax.shard_map(
         per_device_step, mesh=mesh,
         in_specs=(rep, rep, rep, dp, dp, rep),

@@ -226,3 +226,42 @@ def test_retrieval_trunc_and_perm_controls(rng):
     perm = np.asarray(rng.permutation(D))
     pk_perm, _ = r.evaluate(ident, ident, trunc_dim=D, perm=perm)
     np.testing.assert_allclose(pk_perm.mean(), pk_full.mean())
+
+
+def test_cdk_step_dce_drops_density_ratio_gram(rng):
+    """The hot CDK step must not pay for the (B, B) density-ratio gram:
+    excluding rs_* from the jitted outputs lets XLA DCE it (~16x loss-fwd
+    FLOPs at B=2048).  Guards against accidentally re-plumbing rs through
+    the step."""
+    import jax
+    import optax
+
+    from neuralsvd_tpu.cli.sketchy import (make_cdk_train_step,
+                                           make_density_ratio_fn)
+    from neuralsvd_tpu.methods.nestedlora import NestedLoRAForCDK
+    from neuralsvd_tpu.models.two_tower import make_hetero_network
+
+    B, D, L = 1024, 8, 16
+    init, apply, _ = make_hetero_network(
+        input_dim=D, network_dims=[16, L], nonlinearity="lrelu0.2")
+    params = init(jax.random.key(0))
+    method = NestedLoRAForCDK(apply, neigs=L)
+    opt = optax.sgd(1e-2)
+    step = make_cdk_train_step(method, opt)
+    x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    args = (params, opt.init(params), {}, x, y, jnp.zeros((), jnp.int32))
+    flops = step.lower(*args).compile().cost_analysis()["flops"]
+    # with the (B,B) gram the loss fwd alone would add ~2*B^2*(L+1) flops
+    assert flops < 2 * B * B * (L + 1), f"rs gram not DCE'd: {flops}"
+
+    rs_fn = make_density_ratio_fn(apply, set_first_mode_const=True)
+    rs_joint, rs_indep = rs_fn(params, x, y)
+    assert rs_joint.shape == (B,)
+    assert rs_indep.shape == (B * (B - 1),)
+    # matches the loss's own diagnostics
+    from neuralsvd_tpu.ops.nestedlora import nestedlora_cdk_loss
+    out = nestedlora_cdk_loss(None, True, *apply(params, x, y),
+                              method.vector_mask, method.matrix_mask, None)
+    np.testing.assert_allclose(np.asarray(rs_joint), np.asarray(out[3]),
+                               rtol=1e-5, atol=1e-6)

@@ -136,9 +136,8 @@ def test_shard_map_cdk_step_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(aux_dp["f"]),
                                np.asarray(aux_plain["f"]),
                                rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(aux_dp["rs_joint"]),
-                               np.asarray(aux_plain["rs_joint"]),
-                               rtol=1e-4, atol=1e-5)
+    # the O(B^2) density-ratio gram is excluded from the hot step
+    assert "rs_joint" not in aux_dp and "rs_joint" not in aux_plain
 
 
 def test_shard_map_cdk_step_requires_axis_name():
