@@ -100,6 +100,22 @@ def make_sharded_train_step(step_fn, mesh: Mesh, ts, tp_axis: str = "tp"):
     return jitted, ts
 
 
+def shard_batch_sampler(sampler, mesh: Mesh, dp_axis: str = "dp"):
+    """Pin the sampled batch's rows to ``dp_axis`` under GSPMD jit.
+
+    The GSPMD path creates batches inside the step from the PRNG key;
+    without a constraint XLA is free to replicate them, silently turning
+    data parallelism into pure overhead.  Wrap the sampler with this before
+    building a step for :func:`make_sharded_train_step`.
+    """
+    sharding = NamedSharding(mesh, P(dp_axis))
+
+    def sharded(key):
+        return jax.lax.with_sharding_constraint(sampler(key), sharding)
+
+    return sharded
+
+
 def make_shard_map_train_step(method, operator, optimizer, sampler,
                               mesh: Mesh, importance=None,
                               ema_decay: float = 0.99,

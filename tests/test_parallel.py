@@ -207,3 +207,13 @@ def test_shard_map_train_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(ts_dp.params), jax.tree.leaves(ts_1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_shard_batch_sampler_pins_dp_rows():
+    from neuralsvd_tpu.parallel import shard_batch_sampler
+
+    mesh = make_mesh(8, axes=("dp", "tp"), shape=(4, 2))
+    sampler = shard_batch_sampler(
+        lambda key: jax.random.normal(key, (32, 3)), mesh)
+    out = jax.jit(sampler)(jax.random.key(0))
+    assert out.sharding.spec[0] == "dp", out.sharding
