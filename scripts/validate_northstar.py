@@ -55,7 +55,7 @@ from neuralsvd_tpu.training.train_state import init_train_state  # noqa: E402
 
 NEIGS = 16
 SEQUENTIAL = True
-BATCH = 512
+BATCH = int(os.environ.get("NS_BATCH", "512"))
 SCALE = 16.0     # widest gaussian scale (reference hydrogen.sh)
 LAP_EPS = 0.1    # FD; f32-safe (see verify skill); <= 0 for exact autodiff
 GRAD_CLIP = 0.0  # skip-only; clipping at the wrong scale destroys training
