@@ -36,8 +36,13 @@ args=(
     --parallel true
     --nonlinearity softplus
 
-    --sampling_mode gaussian
-    --sampling_scale 16
+    # multi-scale mixture sampling + hydrogenic envelope features:
+    # the round-2 accuracy recipe (BASELINE.md "round 2"); the reference's
+    # single scale-16 gaussian starves the 1s core of samples
+    --sampling_mode gaussian_mixture
+    --sampling_scales 0.5,2,6,16,32
+    --fourier_append_radial true
+    --fourier_append_envelopes 2.0,0.6667,0.4,0.2857,0.2222,0.1818
 
     --operator_scale 100
 
