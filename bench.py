@@ -170,4 +170,8 @@ if __name__ == "__main__":
         "value": round(value, 3),
         "unit": "steps/sec",
         "vs_baseline": round(vs, 3) if vs else None,
+        "baseline_basis": "reference-style torch training step (per-dim FD "
+                          "loop, hand-written-backward loss, RMSprop) on "
+                          "this host's CPU; the reference publishes no "
+                          "throughput numbers",
     }))
