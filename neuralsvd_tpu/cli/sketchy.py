@@ -74,6 +74,10 @@ def get_args(argv=None):
     p.add_argument("--mu", type=float, default=16.0)
     p.add_argument("--regularize_mode", type=str, default="l2_ball",
                    choices=["l2_ball", "l2_sphere", "clip", "tanh"])
+    # TPU AMP analog: bf16 tower matmuls, f32 master weights/Grams
+    # (reference uses CUDA AMP autocast, main_sketchy.py:194-207)
+    p.add_argument("--compute_dtype", type=str, default="f32",
+                   choices=["f32", "bf16"])
     # loss
     p.add_argument("--neigs", type=int, default=512)
     p.add_argument("--loss", dest="loss_name", default="neuralsvd")
@@ -168,7 +172,10 @@ def run_training(args, train_loader, test_loader, valid_loader, input_dim):
     init, apply, apply_single = make_hetero_network(
         input_dim=input_dim, network_dims=net_dims,
         nonlinearity=args.activation, mu=args.mu,
-        regularize_mode=args.regularize_mode)
+        regularize_mode=args.regularize_mode,
+        compute_dtype=(jnp.bfloat16
+                       if getattr(args, "compute_dtype", "f32") == "bf16"
+                       else None))
     params = init(jax.random.key(args.seed))
 
     mesh = None

@@ -19,7 +19,10 @@ from neuralsvd_tpu.ops.masks import (
     step_weights,
 )
 from neuralsvd_tpu.ops.nestedlora import nestedlora_cdk_loss, nestedlora_evd_loss
-from neuralsvd_tpu.ops.pallas_gram import nestedlora_evd_loss_pallas
+from neuralsvd_tpu.ops.pallas_gram import (
+    nestedlora_cdk_loss_pallas,
+    nestedlora_evd_loss_pallas,
+)
 
 
 def _build_masks(neigs: int, step: int, sequential: bool,
@@ -153,11 +156,12 @@ class NestedLoRAForCDK:
 
     def __init__(self, apply_fn: Callable, neigs: int, step: int = 1,
                  sequential: bool = False, set_first_mode_const: bool = True,
-                 axis_name: Optional[str] = None):
+                 axis_name: Optional[str] = None, use_pallas="auto"):
         self.apply_fn = apply_fn
         self.neigs = neigs
         self.set_first_mode_const = set_first_mode_const
         self.axis_name = axis_name
+        self.use_pallas = _resolve_use_pallas(use_pallas, neigs, axis_name)
         vmask, mmask = _build_masks(neigs, step, sequential, set_first_mode_const)
         self.vector_mask = jnp.asarray(vmask)
         self.matrix_mask = jnp.asarray(mmask)
@@ -165,12 +169,19 @@ class NestedLoRAForCDK:
     def init_state(self, params):
         return {}
 
+    def _cdk_loss(self, fx, gy, batch_weights):
+        if self.use_pallas:
+            return nestedlora_cdk_loss_pallas(self.set_first_mode_const,
+                                              fx, gy, self.vector_mask,
+                                              self.matrix_mask, batch_weights)
+        return nestedlora_cdk_loss(self.axis_name, self.set_first_mode_const,
+                                   fx, gy, self.vector_mask,
+                                   self.matrix_mask, batch_weights)
+
     def loss_and_grad(self, params, state, x, y, batch_weights=None):
         def loss_fn(p):
             fx, gy = self.apply_fn(p, x, y)
-            out = nestedlora_cdk_loss(self.axis_name, self.set_first_mode_const,
-                                      fx, gy, self.vector_mask,
-                                      self.matrix_mask, batch_weights)
+            out = self._cdk_loss(fx, gy, batch_weights)
             loss, loss_op, loss_met, rs_joint, rs_indep = out
             return loss, (fx, gy, loss_op, loss_met, rs_joint, rs_indep)
 

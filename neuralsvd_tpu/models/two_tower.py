@@ -115,6 +115,12 @@ def make_siam_network(
     return init, init_state, apply
 
 
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, tree)
+
+
 def make_hetero_network(
     input_dim: int,
     network_dims: Sequence[int],
@@ -122,6 +128,7 @@ def make_hetero_network(
     mu: float = 1.0,
     regularize_mode: str = "l2_ball",
     num_classes: int = 0,
+    compute_dtype=None,
 ):
     """Two independent MLP towers; apply(params, x, y) -> (fx, fy).
 
@@ -133,6 +140,14 @@ def make_hetero_network(
     the (stop_gradient'ed) embeddings: ``apply_single(..., classify=True)``
     returns (emb, logits) (reference: siam.py:139-166 ``online_heads`` /
     ``forward_single(classify=True)``).
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs the tower matmuls in
+    reduced precision on the MXU while keeping float32 master weights and
+    float32 embeddings/Grams — the TPU-native analog of the reference's AMP
+    autocast (main_sketchy.py:194-207; bf16 shares float32's exponent range
+    so no GradScaler is needed, and the existing non-finite skip covers the
+    rest).  Casts sit inside ``apply``: gradients flow through them and
+    accumulate in float32.
     """
     sizes = [input_dim] + list(network_dims)
     x_init, x_apply = make_mlp(sizes, nonlinearity, bias=True)
@@ -153,7 +168,13 @@ def make_hetero_network(
         return params
 
     def apply_single(params, v, side, classify: bool = False):
-        emb = towers[side](params[side], v)
+        tower_params = params[side]
+        if compute_dtype is not None:
+            tower_params = _cast_floats(tower_params, compute_dtype)
+            v = v.astype(compute_dtype)
+        emb = towers[side](tower_params, v)
+        if compute_dtype is not None:
+            emb = emb.astype(jnp.float32)
         emb = normalize_embedding(emb, r_up, regularize_mode)
         if classify:
             if head_apply is None:

@@ -257,3 +257,69 @@ def _pl_bwd(res, g):
 
 
 nestedlora_evd_loss_pallas.defvjp(_pl_fwd, _pl_bwd)
+
+
+# ---------------------------------------------------------------------------
+# CDK loss on the same fused kernels
+# ---------------------------------------------------------------------------
+# The CDK objective has the identical kernel structure (reference:
+# methods/nestedlora.py:270-332): the metric term is the masked pair-gram of
+# (f, g) instead of the two half-batches, the operator term is the paired
+# weighted dot f(x)·g(y), and the backward's metric gradients are the same
+# two masked matmuls.  Packaged behind the same contract as the XLA
+# ``nestedlora_cdk_loss`` (ops/nestedlora.py:156-235), including const-mode
+# padding/stripping and the diagnostics-only density-ratio outputs (computed
+# with plain jnp so XLA can DCE them out of the hot step when unused).
+
+def _cdk_pad_const(f):
+    return jnp.concatenate([jnp.ones((f.shape[0], 1), f.dtype), f], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def nestedlora_cdk_loss_pallas(set_first_mode_const, f, g, vector_mask,
+                               matrix_mask, batch_weights):
+    out, _ = _pl_cdk_fwd(set_first_mode_const, f, g, vector_mask,
+                         matrix_mask, batch_weights)
+    return out
+
+
+def _pl_cdk_fwd(set_first_mode_const, f, g, vector_mask, matrix_mask,
+                batch_weights):
+    if set_first_mode_const:
+        f = _cdk_pad_const(f)
+        g = _cdk_pad_const(g)
+    if batch_weights is not None:
+        f = f * batch_weights
+        g = g * batch_weights
+    B = f.shape[0]
+    loss_metric, lam_f, lam_g = masked_gram_pair(f, g, matrix_mask)
+    loss_operator = -2.0 * weighted_dot(f, g, vector_mask) / B
+    loss = loss_operator + loss_metric
+    gram = jnp.einsum("bl,cl->bc", f, g,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+    rs_joint = jnp.diagonal(gram)
+    n = gram.shape[-1]
+    rs_indep = gram.reshape(n * n)[:-1].reshape(n - 1, n + 1)[:, 1:].reshape(-1)
+    out = (loss, loss_operator, loss_metric, rs_joint, rs_indep)
+    return out, (f, g, lam_f, lam_g, vector_mask, matrix_mask, batch_weights)
+
+
+def _pl_cdk_bwd(set_first_mode_const, res, cts):
+    f, g, lam_f, lam_g, vector_mask, matrix_mask, batch_weights = res
+    gout = cts[0]  # only the scalar loss carries gradient (reference)
+    B = f.shape[0]
+    # metric grads: grad_f = (2/B)·f @ (M⊙Λg), grad_g = (2/B)·g @ (M⊙Λf)
+    metric_f, metric_g = metric_grads(f, g, lam_f, lam_g, matrix_mask,
+                                      2.0 / B, 2.0 / B)
+    grad_f = metric_f + (-2.0 / B) * (vector_mask[None, :] * g)
+    grad_g = metric_g + (-2.0 / B) * (vector_mask[None, :] * f)
+    if set_first_mode_const:
+        grad_f = grad_f[:, 1:]
+        grad_g = grad_g[:, 1:]
+    zeros_w = None if batch_weights is None else jnp.zeros_like(batch_weights)
+    return (gout * grad_f, gout * grad_g, jnp.zeros_like(vector_mask),
+            jnp.zeros_like(matrix_mask), zeros_w)
+
+
+nestedlora_cdk_loss_pallas.defvjp(_pl_cdk_fwd, _pl_cdk_bwd)

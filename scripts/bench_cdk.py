@@ -26,14 +26,21 @@ from neuralsvd_tpu.training.optimizers import build_optimizer  # noqa: E402
 
 L, B, DIM = 512, 4096, 512
 STEPS = 50
+# perf knobs (VERDICT r1 item 7 — pallas win-or-retire at the CDK shape —
+# and the bf16 mixed-precision tower path):
+#   CDK_DTYPE=bf16   tower matmuls in bfloat16 (f32 grams/master weights)
+#   CDK_PALLAS=1     fused Pallas CDK loss kernels instead of XLA einsums
+DTYPE = jnp.bfloat16 if os.environ.get("CDK_DTYPE") == "bf16" else None
+USE_PALLAS = os.environ.get("CDK_PALLAS", "0") == "1"
 
 
 def main():
     init, apply, _ = make_hetero_network(
         input_dim=DIM, network_dims=[8192, L], nonlinearity="lrelu0.2",
-        mu=16.0, regularize_mode="l2_ball")
+        mu=16.0, regularize_mode="l2_ball", compute_dtype=DTYPE)
     params = init(jax.random.key(0))
-    method = NestedLoRAForCDK(apply, neigs=L, set_first_mode_const=True)
+    method = NestedLoRAForCDK(apply, neigs=L, set_first_mode_const=True,
+                              use_pallas=USE_PALLAS)
     opt = build_optimizer("sgd", 5e-3, momentum=0.9)
     opt_state = opt.init(params)
     mstate = method.init_state(params)
@@ -75,6 +82,8 @@ def main():
         "metric": "cdk_L512_bs4096_train_steps_per_sec",
         "value": round(best, 2),
         "unit": "steps/sec",
+        "compute_dtype": "bf16" if DTYPE is not None else "f32",
+        "use_pallas": USE_PALLAS,
     }))
 
 

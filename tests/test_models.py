@@ -127,6 +127,34 @@ def test_hetero_network_two_towers_independent(rng):
     assert np.abs(np.asarray(fx) - np.asarray(gy2)).max() > 1e-6
 
 
+def test_hetero_network_bf16_compute_dtype(rng):
+    """Mixed-precision towers: bf16 matmuls, f32 master weights/outputs/
+    grads, results close to the f32 path (TPU AMP analog)."""
+    init, apply, _ = make_hetero_network(
+        input_dim=8, network_dims=[16, 4], nonlinearity="lrelu0.2",
+        mu=4.0, regularize_mode="l2_ball")
+    init16, apply16, _ = make_hetero_network(
+        input_dim=8, network_dims=[16, 4], nonlinearity="lrelu0.2",
+        mu=4.0, regularize_mode="l2_ball", compute_dtype=jnp.bfloat16)
+    params = init(jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(32, 8)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(32, 8)).astype(np.float32))
+    fx32, _ = apply(params, x, y)
+    fx16, gy16 = apply16(params, x, y)
+    assert fx16.dtype == gy16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(fx16), np.asarray(fx32),
+                               rtol=0.1, atol=0.05)
+
+    def loss16(p):
+        fx, gy = apply16(p, x, y)
+        return jnp.sum(fx * gy)
+
+    grads = jax.grad(loss16)(params)
+    for leaf in jax.tree.leaves(grads):
+        assert leaf.dtype == jnp.float32
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_parse_dims():
     assert parse_dims("128,128,64") == [128, 128, 64]
     assert parse_dims("32") == [32]

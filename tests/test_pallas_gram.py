@@ -117,3 +117,63 @@ def test_resolve_use_pallas_strings():
     assert _resolve_use_pallas("auto", 512, None) is False
     with pytest.raises(ValueError):
         _resolve_use_pallas(True, 512, "dp")
+
+
+def test_cdk_pallas_matches_xla_path(rng):
+    """Pallas CDK loss: all five outputs and both grads == XLA path,
+    with const-mode padding and batch weights exercised."""
+    from neuralsvd_tpu.ops.nestedlora import nestedlora_cdk_loss
+    from neuralsvd_tpu.ops.pallas_gram import nestedlora_cdk_loss_pallas
+
+    B, L = 96, 5
+    f = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    for const in (True, False):
+        vmask, mmask = joint_nesting_masks(step_weights(L), const)
+        vmask, mmask = jnp.asarray(vmask), jnp.asarray(mmask)
+        for bw in (None,
+                   jnp.asarray(rng.uniform(0.5, 1.5, size=(B, 1))
+                               .astype(np.float32))):
+            out_x = nestedlora_cdk_loss(None, const, f, g, vmask, mmask, bw)
+            with pltpu.force_tpu_interpret_mode():
+                out_p = nestedlora_cdk_loss_pallas(const, f, g, vmask,
+                                                   mmask, bw)
+            for a, b in zip(out_p, out_x):
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+            def lx(f, g):
+                return nestedlora_cdk_loss(None, const, f, g, vmask,
+                                           mmask, bw)[0]
+
+            def lp(f, g):
+                return nestedlora_cdk_loss_pallas(const, f, g, vmask,
+                                                  mmask, bw)[0]
+
+            gx = jax.grad(lx, argnums=(0, 1))(f, g)
+            with pltpu.force_tpu_interpret_mode():
+                gp = jax.grad(lp, argnums=(0, 1))(f, g)
+            for a, b in zip(gp, gx):
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_cdk_method_use_pallas_matches_xla(rng):
+    from neuralsvd_tpu.methods.nestedlora import NestedLoRAForCDK
+
+    B, D, L = 64, 6, 4
+    x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    params = {"wx": jnp.asarray(rng.normal(size=(D, L)).astype(np.float32)),
+              "wy": jnp.asarray(rng.normal(size=(D, L)).astype(np.float32))}
+
+    def apply_fn(p, x, y):
+        return x @ p["wx"], y @ p["wy"]
+
+    m_xla = NestedLoRAForCDK(apply_fn, L, use_pallas=False)
+    m_pl = NestedLoRAForCDK(apply_fn, L, use_pallas=True)
+    lx, gx, ax, _ = m_xla.loss_and_grad(params, {}, x, y)
+    with pltpu.force_tpu_interpret_mode():
+        lp, gp, ap, _ = m_pl.loss_and_grad(params, {}, x, y)
+    np.testing.assert_allclose(lp, lx, rtol=1e-5)
+    for k in gx:
+        np.testing.assert_allclose(gp[k], gx[k], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(ap["rs_joint"], ax["rs_joint"], rtol=1e-5)
