@@ -106,6 +106,33 @@ def test_cdk_end_to_end_synthetic(rng, tmp_path):
     assert os.path.exists(os.path.join(tmp_path, "retrievals_best.npz"))
 
 
+def test_cdk_end_to_end_bf16_matches_f32_quality(rng, tmp_path):
+    """bf16 mixed-precision towers train to the same retrieval quality as
+    f32 on the synthetic task (quality guard for --compute_dtype bf16)."""
+    import csv
+
+    from neuralsvd_tpu.cli.sketchy import get_args, run_training
+
+    def run(dtype, sub):
+        train, test, valid = _make_synth_loaders(rng)
+        args = get_args([
+            "--log_dir", str(tmp_path / sub), "--num_epochs", "3",
+            "--batch_size", "64", "--network_dims", "64,16", "--neigs", "16",
+            "--optimizer", "adam", "--base_lr", "1e-3", "--mu", "4.0",
+            "--n_retrievals", "10", "--compute_dtype", dtype,
+        ])
+        run_training(args, train, test, valid, input_dim=16)
+        logs = [f for f in os.listdir(tmp_path / sub) if f.endswith(".csv")]
+        with open(tmp_path / sub / logs[0]) as fh:
+            rows = list(csv.DictReader(fh))
+        return float(rows[-1]["test_P@K"])
+
+    pk32 = run("f32", "f32")
+    pk16 = run("bf16", "bf16")
+    assert pk16 > 2 * (1.0 / 6), f"bf16 P@K {pk16} not above chance"
+    assert pk16 > pk32 - 0.1, f"bf16 P@K {pk16} far below f32 {pk32}"
+
+
 def test_feature_extraction_pipeline(tmp_path, rng):
     """extract_features_main with injected tiny towers/datasets produces npz
     files that SketchyVGGDataLoader can consume end-to-end."""
