@@ -150,6 +150,23 @@ def profile_cdk(trace_dir):
     rows.append(report("cdk/full_step_with_rs_gram", t, fl,
                        {"steps_per_sec": round(1 / t, 1)}))
 
+    # perf-lever variants at the same shape (VERDICT r1 item 7):
+    # fused Pallas CDK loss inside the full step, and bf16 towers
+    method_pl = NestedLoRAForCDK(apply, neigs=L, use_pallas=True)
+    step_pl = make_cdk_train_step(method_pl, opt)
+    t, fl = timed(step_pl, params, opt_state, {}, x, y, skips)
+    rows.append(report("cdk/full_step_pallas_loss", t, fl,
+                       {"steps_per_sec": round(1 / t, 1)}))
+
+    init16, apply16, _ = make_hetero_network(
+        input_dim=D, network_dims=[8192, L], nonlinearity="lrelu0.2",
+        mu=16.0, compute_dtype=jnp.bfloat16)
+    method16 = NestedLoRAForCDK(apply16, neigs=L)
+    step16 = make_cdk_train_step(method16, opt)
+    t, fl = timed(step16, params, opt_state, {}, x, y, skips)
+    rows.append(report("cdk/full_step_bf16_towers", t, fl,
+                       {"steps_per_sec": round(1 / t, 1)}))
+
     run = jax.jit(step)
     args = (params, opt_state, {}, x, y, skips)
     jax.block_until_ready(run(*args)[0])
