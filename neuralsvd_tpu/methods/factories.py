@@ -45,5 +45,6 @@ def get_cdk_method(method_name: str, apply_fn: Callable, neigs: int,
             step=opts.get("step", 1),
             sequential=opts.get("sequential", False),
             set_first_mode_const=opts.get("set_first_mode_const", True),
-            axis_name=axis_name)
+            axis_name=axis_name,
+            use_pallas=opts.get("use_pallas", "auto"))
     raise NotImplementedError(method_name)
