@@ -84,13 +84,17 @@ def main(cfg: PDEConfig):
     params = init(jax.random.key(cfg.seed))
 
     scale = cfg.sampling_scale
+    weights = None
     if cfg.sampling_mode == "gaussian_mixture":
         scale = tuple(float(v) for v in cfg.sampling_scales.split(",") if v)
+        if getattr(cfg, "sampling_weights", ""):
+            weights = tuple(float(v) for v in cfg.sampling_weights.split(",")
+                            if v)
     # under a dp mesh each device draws its own batch: keep the configured
     # batch_size GLOBAL by sampling batch_size // n_dev per device
     sample, importance_train = get_sampler(
         cfg.sampling_mode, cfg.batch_size // n_dev, n_particles, cfg.ndim,
-        scale)
+        scale, sampling_weights=weights)
 
     val_batches = importance_val = None
     val_data = None

@@ -16,12 +16,15 @@ import numpy as np
 
 
 def get_sampler(sampling_mode: str, batch_size: int, n_particles: int,
-                ndim: int, sampling_scale: float
-                ) -> Tuple[Callable, Callable]:
+                ndim: int, sampling_scale: float,
+                sampling_weights=None) -> Tuple[Callable, Callable]:
     """Returns (sample(key) -> (B, n_particles*ndim), importance(x) -> (B, 1)).
 
     The importance function is the sampling density (used for operator
-    conjugation and train→val reweighting).
+    conjugation and train→val reweighting).  ``sampling_weights`` (mixture
+    mode only) sets non-uniform component probabilities — e.g. overweight
+    the tightest scale to feed a short-length-scale eigenfunction more
+    quadrature without adding components.
     """
     d = n_particles * ndim
     shape = (batch_size, d)
@@ -62,22 +65,30 @@ def get_sampler(sampling_mode: str, batch_size: int, n_particles: int,
         scales = np.asarray(sampling_scale, dtype=np.float32).ravel()
         assert scales.size > 1, "gaussian_mixture needs >= 2 scales"
         K = scales.size
+        if sampling_weights is None:
+            weights = np.full(K, 1.0 / K, dtype=np.float32)
+        else:
+            weights = np.asarray(sampling_weights, dtype=np.float32).ravel()
+            assert weights.size == K and (weights > 0).all()
+            weights = weights / weights.sum()
         scales_j = jnp.asarray(scales)
+        weights_j = jnp.asarray(weights)
         log_norms = -0.5 * d * np.log(2 * np.pi * scales ** 2)  # (K,)
         log_norms_j = jnp.asarray(log_norms.astype(np.float32))
+        log_weights_j = jnp.asarray(np.log(weights))
 
         def sample(key):
             kc, kn = jax.random.split(key)
-            comp = jax.random.randint(kc, (batch_size,), 0, K)
+            comp = jax.random.choice(kc, K, (batch_size,), p=weights_j)
             s = scales_j[comp][:, None]
             return s * jax.random.normal(kn, shape)
 
         def importance(x):
             x = x.reshape(x.shape[0], -1)
             r2 = jnp.sum(x ** 2, axis=-1, keepdims=True)  # (B, 1)
-            logps = (log_norms_j[None, :]
+            logps = (log_weights_j[None, :] + log_norms_j[None, :]
                      - 0.5 * r2 / scales_j[None, :] ** 2)  # (B, K)
-            logp = jax.scipy.special.logsumexp(logps, axis=1) - np.log(K)
+            logp = jax.scipy.special.logsumexp(logps, axis=1)
             return jnp.exp(logp).reshape(-1, 1)
 
         return sample, importance

@@ -97,6 +97,7 @@ class PDEConfig:
     # gaussian_mixture (multi-scale; set sampling_scales)
     sampling_scale: float = 16.0
     sampling_scales: str = ""  # comma list for gaussian_mixture
+    sampling_weights: str = ""  # optional comma list of mixture weights
     val_eps: float = 0.1
     # parallelism: "" = single device; "dp" = all local devices on a data
     # -parallel mesh axis; "dp=N" = N devices.  batch_size stays the GLOBAL

@@ -63,6 +63,8 @@ RADIAL = os.environ.get("NS_RADIAL", "1") == "1"  # r cusp feature (1s state)
 _mix = os.environ.get("NS_MIX", "0.5,2,6,16")
 MIX_SCALES = (None if _mix in ("0", "") else
               tuple(float(v) for v in _mix.split(",")))
+_mixw = os.environ.get("NS_MIX_W", "")
+MIX_WEIGHTS = (tuple(float(v) for v in _mixw.split(",")) if _mixw else None)
 ENVELOPES = (tuple(1.0 / (n + 0.5) for n in range(4))
              if os.environ.get("NS_ENV", "1") == "1" else ())
 EXP_MASK = os.environ.get("NS_EXP_MASK", "0") == "1"  # learnable e^{-r/s_l}
@@ -80,7 +82,8 @@ CHUNK = 1000
 
 def make_sampling(batch):
     if MIX_SCALES is not None:
-        return get_sampler("gaussian_mixture", batch, 1, 2, MIX_SCALES)
+        return get_sampler("gaussian_mixture", batch, 1, 2, MIX_SCALES,
+                           sampling_weights=MIX_WEIGHTS)
     return get_sampler("gaussian", batch, 1, 2, SCALE)
 
 
@@ -183,9 +186,10 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         "num_iters": num_iters,
         "train_steps_per_sec": round(num_iters / train_time, 1),
         "target": 1e-3,
-        "config": {"mix": MIX_SCALES, "envelopes": ENVELOPES,
+        "config": {"mix": MIX_SCALES, "mix_weights": MIX_WEIGHTS,
+                   "envelopes": ENVELOPES,
                    "radial": RADIAL, "exp_mask": EXP_MASK,
-                   "lap_eps": lap_eps},
+                   "batch": BATCH, "lap_eps": lap_eps},
     }))
 
 

@@ -42,6 +42,28 @@ def test_gaussian_mixture_density_pointwise():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_gaussian_mixture_nonuniform_weights():
+    """Weighted mixture: density matches the weighted formula pointwise and
+    the sampler's component frequencies follow the weights."""
+    scales = (0.5, 2.0, 6.0, 16.0)
+    weights = (0.4, 0.3, 0.2, 0.1)
+    sample, importance = get_sampler("gaussian_mixture", 200_000, 1, 2,
+                                     scales, sampling_weights=weights)
+    pts = np.array([[0.0, 0.0], [1.0, -2.0], [8.0, 3.0]], np.float32)
+    got = np.asarray(importance(jnp.asarray(pts))).ravel()
+    r2 = (pts ** 2).sum(1)
+    want = sum(w * np.exp(-r2 / (2 * s**2)) / (2 * np.pi * s**2)
+               for w, s in zip(weights, scales))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # empirical core mass reflects the overweighted tight component
+    x = np.asarray(sample(jax.random.key(0)))
+    frac_core = np.mean(np.linalg.norm(x, axis=1) < 1.0)
+    pred = sum(w * (1 - np.exp(-1 / (2 * s**2)))
+               for w, s in zip(weights, scales))
+    np.testing.assert_allclose(frac_core, pred, rtol=0.05)
+    assert frac_core > 0.35  # vs ~0.26 under uniform weights
+
+
 def test_envelope_features_appended():
     kappas = (2.0, 2.0 / 3.0)
     init, apply = make_fourier_features(
