@@ -87,6 +87,8 @@ def get_args(argv=None):
     p.add_argument("--neuralsvd.set_first_mode_const", dest="nsvd_const",
                    type=lambda v: str(v).lower() in ("1", "true"),
                    default=True)
+    p.add_argument("--use_pallas", type=str, default="auto",
+                   choices=["auto", "true", "false"])
     # parallelism: "" single device; "dp" all local devices; "dp=N"
     p.add_argument("--mesh", type=str, default="")
     return p.parse_args(argv)
@@ -194,7 +196,8 @@ def run_training(args, train_loader, test_loader, valid_loader, input_dim):
                             step=args.nsvd_step,
                             sequential=args.nsvd_sequential,
                             set_first_mode_const=args.nsvd_const,
-                            axis_name=("dp" if mesh is not None else None))
+                            axis_name=("dp" if mesh is not None else None),
+                            use_pallas=getattr(args, "use_pallas", "auto"))
     method_state = method.init_state(params)
 
     steps_per_epoch = train_loader.max_steps
