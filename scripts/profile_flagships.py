@@ -1,10 +1,22 @@
 """Flagship performance characterization (VERDICT r1 item 8).
 
 For the two flagship workloads — hydrogen-2D L=16 (north-star) and Sketchy
-CDK L=512 — measures the full fused train step and its components
-separately (model forward, operator application, loss+grad), derives
+CDK L=512 — measures the full fused train step and its components, derives
 achieved FLOP/s from XLA's cost analysis, and writes a step-time breakdown
 plus a jax.profiler trace per flagship.
+
+Measurement notes (this host):
+- The axon TPU tunnel adds ~30-50 ms per dispatch, so every timing loops
+  the workload INSIDE one jitted computation.
+- Stateful train steps loop through their NATURAL carry (params/opt-state
+  threading) — the true sequential dependence, nothing can be hoisted.
+- Stateless components loop with a carry that (a) perturbs the first float
+  input by a negligible runtime-dependent amount and (b) consumes a cheap
+  reduction of EVERY float output leaf — without (b) XLA dead-code
+  -eliminates whatever doesn't feed the carry (e.g. the whole backward of
+  a loss_and_grad row).
+- XLA's cost analysis counts a scan body ONCE regardless of trip count, so
+  per-step FLOPs always come from lowering the SINGLE-call version.
 
 Usage: python scripts/profile_flagships.py [outdir]  (runs on the default
 device; on this host that is the single v5e chip).
@@ -25,22 +37,66 @@ jax.config.update("jax_default_matmul_precision", "float32")
 OUT = sys.argv[1] if len(sys.argv) > 1 else "log/r2/profile"
 
 
-def timed(fn, *args, n=20, double_compile=True):
-    """Median wall time of jitted fn; compiles twice (cold-autotune guard)
-    and returns (seconds, flops_from_cost_analysis)."""
-    if double_compile:
-        warm = jax.jit(fn)
-        jax.block_until_ready(warm(*args))
-    run = jax.jit(lambda *a: fn(*a))
-    compiled = run.lower(*args).compile()
-    flops = compiled.cost_analysis().get("flops", float("nan"))
+def _consume(out):
+    """Cheap scalar that depends on every float leaf (DCE guard)."""
+    tot = jnp.float32(0.0)
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            tot = tot + jnp.sum(leaf).astype(jnp.float32)
+    return tot * jnp.float32(1e-30)
+
+
+def single_call_flops(fn, *args):
+    return float(jax.jit(fn).lower(*args).compile()
+                 .cost_analysis().get("flops", float("nan")))
+
+
+def _wall(run, args, n=3):
     jax.block_until_ready(run(*args))
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
         jax.block_until_ready(run(*args))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)), float(flops)
+    return float(np.median(ts))
+
+
+def timed_component(fn, *args, n=3, iters=20):
+    """Seconds per call of a STATELESS component, looped in one dispatch.
+
+    The carry perturbs the first float leaf of the first argument and
+    consumes all output leaves; see module docstring.
+    """
+    flops = single_call_flops(fn, *args)
+
+    def scanned(*a):
+        leaf0 = None
+        for leaf in jax.tree.leaves(a[0]):
+            if (hasattr(leaf, "dtype")
+                    and jnp.issubdtype(leaf.dtype, jnp.floating)):
+                leaf0 = leaf
+                break
+
+        def body(c, _):
+            done = [False]
+
+            def rep(x):
+                if (not done[0] and hasattr(x, "dtype")
+                        and x.shape == leaf0.shape and x.dtype == leaf0.dtype):
+                    done[0] = True
+                    return x + c.astype(x.dtype)
+                return x
+
+            out = fn(jax.tree.map(rep, a[0]), *a[1:])
+            return _consume(out), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    warm = jax.jit(scanned)  # cold-autotune guard: compile twice
+    jax.block_until_ready(warm(*args))
+    run = jax.jit(lambda *a: scanned(*a))
+    return _wall(run, args, n) / iters, flops
 
 
 def report(name, seconds, flops, extra=None):
@@ -82,29 +138,35 @@ def profile_hydrogen(trace_dir):
     x = sampler(jax.random.key(1))
     rows = []
     rows.append(report("hydrogen/model_fwd_2D+1_probes",
-                       *timed(lambda p: apply(p, jnp.tile(x, (5, 1))),
-                              params)))
+                       *timed_component(
+                           lambda p: apply(p, jnp.tile(x, (5, 1))), params)))
     rows.append(report("hydrogen/operator_fd",
-                       *timed(lambda p: operator(
-                           lambda xx: apply(p, xx), x, None)[0], params)))
+                       *timed_component(lambda p: operator(
+                           lambda xx: apply(p, xx), x, None), params)))
     rows.append(report(
         "hydrogen/loss_and_grad",
-        *timed(lambda p: method.loss_and_grad(p, {}, x, operator, None)[:2],
-               params)))
+        *timed_component(
+            lambda p: method.loss_and_grad(p, {}, x, operator, None)[:2],
+            params)))
+    # production hot loop: the scanned step threads its own state — time one
+    # 500-step dispatch (tunnel overhead amortized to <0.1 ms/step)
     step = make_train_step(method, operator, opt, sampler, ema_decay=0.995)
-    ts = init_train_state(params, opt, method)
-    t, fl = timed(step, ts, jax.random.key(2))
-    rows.append(report("hydrogen/full_step_per_dispatch", t, fl))
+    step_flops = single_call_flops(step,
+                                   init_train_state(params, opt, method),
+                                   jax.random.key(2))
+    K = 500
     scan = make_scanned_train_step(method, operator, opt, sampler,
-                                   ema_decay=0.995, steps_per_call=100)
-    t, fl = timed(scan, ts, jax.random.key(2), n=5)
-    rows.append(report("hydrogen/scan100_per_step", t / 100, fl / 100,
-                       {"steps_per_sec": round(100 / t, 1)}))
+                                   ema_decay=0.995, steps_per_call=K)
+    ts0 = init_train_state(params, opt, method)
+    warm = jax.jit(scan)
+    jax.block_until_ready(warm(ts0, jax.random.key(2))[1])
+    run = jax.jit(lambda ts, k: scan(ts, k))
+    t = _wall(run, (ts0, jax.random.key(3)), n=3) / K
+    rows.append(report("hydrogen/production_scan_step", t, step_flops,
+                       {"steps_per_sec": round(1 / t, 1)}))
     # profiler trace of the scanned hot loop
-    run = jax.jit(scan)
-    jax.block_until_ready(run(ts, jax.random.key(3)))
     jax.profiler.start_trace(os.path.join(trace_dir, "hydrogen"))
-    jax.block_until_ready(run(ts, jax.random.key(4)))
+    jax.block_until_ready(run(ts0, jax.random.key(4)))
     jax.profiler.stop_trace()
     return rows
 
@@ -120,8 +182,10 @@ def profile_cdk(trace_dir):
     init, apply, _ = make_hetero_network(
         input_dim=D, network_dims=[8192, L], nonlinearity="lrelu0.2",
         mu=16.0)
+    init16, apply16, _ = make_hetero_network(
+        input_dim=D, network_dims=[8192, L], nonlinearity="lrelu0.2",
+        mu=16.0, compute_dtype=jnp.bfloat16)
     params = init(jax.random.key(0))
-    method = NestedLoRAForCDK(apply, neigs=L)
     opt = optax.sgd(5e-3)
     opt_state = opt.init(params)
     x = jax.random.normal(jax.random.key(1), (B, D))
@@ -129,16 +193,46 @@ def profile_cdk(trace_dir):
     skips = jnp.zeros((), jnp.int32)
 
     rows = []
-    rows.append(report("cdk/towers_fwd", *timed(
+    method = NestedLoRAForCDK(apply, neigs=L)
+    rows.append(report("cdk/towers_fwd", *timed_component(
         lambda p: apply(p, x, y), params)))
-    rows.append(report("cdk/loss_and_grad", *timed(
+    rows.append(report("cdk/loss_and_grad", *timed_component(
         lambda p: method.loss_and_grad(p, {}, x, y)[:2], params)))
-    step = make_cdk_train_step(method, opt)
-    t, fl = timed(step, params, opt_state, {}, x, y, skips)
-    rows.append(report("cdk/full_step", t, fl,
-                       {"steps_per_sec": round(1 / t, 1)}))
 
-    # the retired alternative: step that also materializes the (B,B)
+    def timed_full_step(m, label):
+        """Natural-carry loop over the REAL train step (fresh pairs per
+        iteration, like training; params/opt-state thread through)."""
+        step = make_cdk_train_step(m, opt)
+        flops = single_call_flops(step, params, opt_state, {}, x, y, skips)
+
+        def scanned(params, opt_state, skips, base_key):
+            def body(carry, i):
+                p, o, s = carry
+                kx, ky = jax.random.split(jax.random.fold_in(base_key, i))
+                xi = jax.random.normal(kx, (B, D))
+                yi = xi + 0.5 * jax.random.normal(ky, (B, D))
+                p, o, _, loss, _, s = step(p, o, {}, xi, yi, s)
+                return (p, o, s), loss
+
+            (p, o, s), losses = jax.lax.scan(
+                body, (params, opt_state, skips), jnp.arange(20))
+            return losses[-1]
+
+        warm = jax.jit(scanned)
+        args = (params, opt_state, skips, jax.random.key(7))
+        jax.block_until_ready(warm(*args))
+        run = jax.jit(lambda *a: scanned(*a))
+        t = _wall(run, args, n=3) / 20
+        return report(label, t, flops, {"steps_per_sec": round(1 / t, 1)})
+
+    rows.append(timed_full_step(method, "cdk/full_step"))
+    rows.append(timed_full_step(
+        NestedLoRAForCDK(apply, neigs=L, use_pallas=True),
+        "cdk/full_step_pallas_loss"))
+    rows.append(timed_full_step(
+        NestedLoRAForCDK(apply16, neigs=L), "cdk/full_step_bf16_towers"))
+
+    # the retired alternative: step that also materializes the (B, B)
     # density-ratio gram (what every step paid before the DCE change)
     def step_with_rs(params, opt_state, x, y):
         loss, grads, aux, _ = method.loss_and_grad(params, {}, x, y)
@@ -146,27 +240,29 @@ def profile_cdk(trace_dir):
         return (optax.apply_updates(params, updates), opt_state,
                 aux["rs_joint"], aux["rs_indep"])
 
-    t, fl = timed(step_with_rs, params, opt_state, x, y)
-    rows.append(report("cdk/full_step_with_rs_gram", t, fl,
+    flops = single_call_flops(step_with_rs, params, opt_state, x, y)
+
+    def scanned_rs(params, opt_state, base_key):
+        def body(carry, i):
+            p, o = carry
+            kx, ky = jax.random.split(jax.random.fold_in(base_key, i))
+            xi = jax.random.normal(kx, (B, D))
+            yi = xi + 0.5 * jax.random.normal(ky, (B, D))
+            p, o, rj, ri = step_with_rs(p, o, xi, yi)
+            return (p, o), jnp.sum(rj) + jnp.sum(ri)
+
+        _, out = jax.lax.scan(body, (params, opt_state), jnp.arange(20))
+        return out[-1]
+
+    warm = jax.jit(scanned_rs)
+    args = (params, opt_state, jax.random.key(8))
+    jax.block_until_ready(warm(*args))
+    run = jax.jit(lambda *a: scanned_rs(*a))
+    t = _wall(run, args, n=3) / 20
+    rows.append(report("cdk/full_step_with_rs_gram", t, flops,
                        {"steps_per_sec": round(1 / t, 1)}))
 
-    # perf-lever variants at the same shape (VERDICT r1 item 7):
-    # fused Pallas CDK loss inside the full step, and bf16 towers
-    method_pl = NestedLoRAForCDK(apply, neigs=L, use_pallas=True)
-    step_pl = make_cdk_train_step(method_pl, opt)
-    t, fl = timed(step_pl, params, opt_state, {}, x, y, skips)
-    rows.append(report("cdk/full_step_pallas_loss", t, fl,
-                       {"steps_per_sec": round(1 / t, 1)}))
-
-    init16, apply16, _ = make_hetero_network(
-        input_dim=D, network_dims=[8192, L], nonlinearity="lrelu0.2",
-        mu=16.0, compute_dtype=jnp.bfloat16)
-    method16 = NestedLoRAForCDK(apply16, neigs=L)
-    step16 = make_cdk_train_step(method16, opt)
-    t, fl = timed(step16, params, opt_state, {}, x, y, skips)
-    rows.append(report("cdk/full_step_bf16_towers", t, fl,
-                       {"steps_per_sec": round(1 / t, 1)}))
-
+    step = make_cdk_train_step(method, opt)
     run = jax.jit(step)
     args = (params, opt_state, {}, x, y, skips)
     jax.block_until_ready(run(*args)[0])
