@@ -53,7 +53,12 @@ from neuralsvd_tpu.training.train_operator import (  # noqa: E402
 )
 from neuralsvd_tpu.training.train_state import init_train_state  # noqa: E402
 
-NEIGS = 16
+NEIGS = int(os.environ.get("NS_NEIGS", "16"))  # 16 (north-star) or 36 (ref)
+_N_SHELLS = 1
+while sum(2 * n + 1 for n in range(_N_SHELLS)) < NEIGS:
+    _N_SHELLS += 1
+assert sum(2 * n + 1 for n in range(_N_SHELLS)) == NEIGS, (
+    f"NEIGS={NEIGS} must close a 2D-hydrogen shell (1, 4, 9, 16, 25, 36…)")
 SEQUENTIAL = True
 BATCH = int(os.environ.get("NS_BATCH", "512"))
 SCALE = 16.0     # widest gaussian scale (reference hydrogen.sh)
@@ -65,7 +70,7 @@ MIX_SCALES = (None if _mix in ("0", "") else
               tuple(float(v) for v in _mix.split(",")))
 _mixw = os.environ.get("NS_MIX_W", "")
 MIX_WEIGHTS = (tuple(float(v) for v in _mixw.split(",")) if _mixw else None)
-ENVELOPES = (tuple(1.0 / (n + 0.5) for n in range(4))
+ENVELOPES = (tuple(1.0 / (n + 0.5) for n in range(_N_SHELLS))
              if os.environ.get("NS_ENV", "1") == "1" else ())
 EXP_MASK = os.environ.get("NS_EXP_MASK", "0") == "1"  # learnable e^{-r/s_l}
 _ems = os.environ.get("NS_EXP_MASK_SCALE", "5.0")
@@ -77,7 +82,8 @@ elif "," in _ems:
     EXP_MASK_SCALE = tuple(float(v) for v in _ems.split(","))  # lo,hi ladder
 else:
     EXP_MASK_SCALE = float(_ems)
-CHUNK = 1000
+CHUNK = int(os.environ.get("NS_CHUNK", "1000"))
+EVAL_ROUNDS = int(os.environ.get("NS_EVAL_ROUNDS", "64"))
 
 
 def make_sampling(batch):
@@ -146,7 +152,7 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
 
     def spectrum_of(params, tag):
         cov = quad = 0.0
-        for i in range(64):
+        for i in range(EVAL_ROUNDS):
             c, q = accum(params, jax.random.fold_in(jax.random.key(3), i))
             cov, quad = cov + c, quad + q
         cov, quad = np.asarray(cov), np.asarray(quad)
@@ -177,7 +183,7 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
     spectrum_of(ts.params, "raw")
     rel, rel_grouped, rel_aligned, max_off = spectrum_of(ts.ema_params, "ema")
     print(json.dumps({
-        "metric": "hydrogen2d_L16_eigval_max_rel_err_grouped",
+        "metric": f"hydrogen2d_L{NEIGS}_eigval_max_rel_err_grouped",
         "value": float(rel_grouped.max()),
         "max_rel_err_sorted": float(rel.max()),
         "median_rel_err": float(np.median(rel)),
