@@ -42,7 +42,10 @@ from neuralsvd_tpu.data.samplers import get_sampler  # noqa: E402
 from neuralsvd_tpu.methods.nestedlora import NestedLoRA  # noqa: E402
 from neuralsvd_tpu.methods.spectrum import grouped_rayleigh  # noqa: E402
 from neuralsvd_tpu.models import make_wavefunctions  # noqa: E402
-from neuralsvd_tpu.operators.ground_truths import Hydrogen2D  # noqa: E402
+from neuralsvd_tpu.operators.ground_truths import (  # noqa: E402
+    Hydrogen2D,
+    Hydrogen3D,
+)
 from neuralsvd_tpu.operators.problems import get_problem  # noqa: E402
 from neuralsvd_tpu.training.optimizers import (  # noqa: E402
     cosine_annealing,
@@ -53,12 +56,20 @@ from neuralsvd_tpu.training.train_operator import (  # noqa: E402
 )
 from neuralsvd_tpu.training.train_state import init_train_state  # noqa: E402
 
+NDIM = int(os.environ.get("NS_NDIM", "2"))  # 2 (north-star) or 3
 NEIGS = int(os.environ.get("NS_NEIGS", "16"))  # 16 (north-star) or 36 (ref)
+
+
+def _shell_size(n):  # shell n = 0, 1, 2, …
+    return 2 * n + 1 if NDIM == 2 else (n + 1) ** 2
+
+
 _N_SHELLS = 1
-while sum(2 * n + 1 for n in range(_N_SHELLS)) < NEIGS:
+while sum(_shell_size(n) for n in range(_N_SHELLS)) < NEIGS:
     _N_SHELLS += 1
-assert sum(2 * n + 1 for n in range(_N_SHELLS)) == NEIGS, (
-    f"NEIGS={NEIGS} must close a 2D-hydrogen shell (1, 4, 9, 16, 25, 36…)")
+assert sum(_shell_size(n) for n in range(_N_SHELLS)) == NEIGS, (
+    f"NEIGS={NEIGS} must close a hydrogen shell "
+    f"({'1, 4, 9, 16, 25, 36' if NDIM == 2 else '1, 5, 14, 30'}…)")
 SEQUENTIAL = True
 BATCH = int(os.environ.get("NS_BATCH", "512"))
 SCALE = 16.0     # widest gaussian scale (reference hydrogen.sh)
@@ -70,7 +81,11 @@ MIX_SCALES = (None if _mix in ("0", "") else
               tuple(float(v) for v in _mix.split(",")))
 _mixw = os.environ.get("NS_MIX_W", "")
 MIX_WEIGHTS = (tuple(float(v) for v in _mixw.split(",")) if _mixw else None)
-ENVELOPES = (tuple(1.0 / (n + 0.5) for n in range(_N_SHELLS))
+# hydrogenic radial decay rates per shell: psi_n ~ e^{-kappa_n r} with
+# kappa_n = Z/(n+1/2) in 2D (ground_truths.Hydrogen2D) and Z/(2n) in 3D
+# (Hydrogen3D's E(n) = -Z^2/(4 n^2) convention, a0 = 2/Z)
+ENVELOPES = (tuple((1.0 / (n + 0.5) if NDIM == 2 else 1.0 / (2 * (n + 1)))
+                   for n in range(_N_SHELLS))
              if os.environ.get("NS_ENV", "1") == "1" else ())
 EXP_MASK = os.environ.get("NS_EXP_MASK", "0") == "1"  # learnable e^{-r/s_l}
 _ems = os.environ.get("NS_EXP_MASK_SCALE", "5.0")
@@ -88,18 +103,18 @@ EVAL_ROUNDS = int(os.environ.get("NS_EVAL_ROUNDS", "64"))
 
 def make_sampling(batch):
     if MIX_SCALES is not None:
-        return get_sampler("gaussian_mixture", batch, 1, 2, MIX_SCALES,
+        return get_sampler("gaussian_mixture", batch, 1, NDIM, MIX_SCALES,
                            sampling_weights=MIX_WEIGHTS)
-    return get_sampler("gaussian", batch, 1, 2, SCALE)
+    return get_sampler("gaussian", batch, 1, NDIM, SCALE)
 
 
 def main(num_iters=300_000, lap_eps=LAP_EPS):
     operator, gt, _ = get_problem(
-        problem="sch", potential_type="hydrogen", ndim=2, neigs=NEIGS,
+        problem="sch", potential_type="hydrogen", ndim=NDIM, neigs=NEIGS,
         laplacian_eps=lap_eps, operator_scale=100.0)
     sampler, importance = make_sampling(BATCH)
     init, apply = make_wavefunctions(
-        ndim=2, neigs=NEIGS, mlp_hidden_dims=[128, 128, 128],
+        ndim=NDIM, neigs=NEIGS, mlp_hidden_dims=[128, 128, 128],
         nonlinearity="softplus", parallel=True,
         use_fourier_feature=True,
         fourier_mapping_size=1024, fourier_scale=0.1,
@@ -146,8 +161,9 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
     from scipy.linalg import eigh as scipy_eigh
 
     gt_sorted = np.sort(np.asarray(gt))[::-1]
-    cum = Hydrogen2D().get_degeneracy(NEIGS)  # cumulative group counts
-    group_sizes = np.diff(np.concatenate([[0], cum]))  # 1, 3, 5, 7
+    gt_problem = Hydrogen2D() if NDIM == 2 else Hydrogen3D()
+    cum = gt_problem.get_degeneracy(NEIGS)  # cumulative group counts
+    group_sizes = np.diff(np.concatenate([[0], cum]))
     assert group_sizes.sum() == NEIGS
 
     def spectrum_of(params, tag):
@@ -183,7 +199,7 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
     spectrum_of(ts.params, "raw")
     rel, rel_grouped, rel_aligned, max_off = spectrum_of(ts.ema_params, "ema")
     print(json.dumps({
-        "metric": f"hydrogen2d_L{NEIGS}_eigval_max_rel_err_grouped",
+        "metric": f"hydrogen{NDIM}d_L{NEIGS}_eigval_max_rel_err_grouped",
         "value": float(rel_grouped.max()),
         "max_rel_err_sorted": float(rel.max()),
         "median_rel_err": float(np.median(rel)),
