@@ -15,6 +15,10 @@ args=(
 
     --network_dims 8192,512
     --mu 16
+    # TPU mixed precision: bf16 tower matmuls, f32 Grams/master weights
+    # (3.1x steps/sec at this config, BASELINE.md; quality-guarded by
+    # tests/test_cdk_retrieval.py)
+    --compute_dtype bf16
 
     --num_epochs 10
     --warmup_epochs 0

@@ -99,6 +99,30 @@ else:
     EXP_MASK_SCALE = float(_ems)
 CHUNK = int(os.environ.get("NS_CHUNK", "1000"))
 EVAL_ROUNDS = int(os.environ.get("NS_EVAL_ROUNDS", "64"))
+CKPT = os.environ.get("NS_CKPT", "")  # pickle path: save/resume TrainState
+# (the axon tunnel can wedge mid-run — observed once at L=36 after 500k
+# iters; with NS_CKPT a rerun resumes from the last saved chunk, schedule
+# state included, instead of losing hours)
+
+
+def _save_ckpt(ts, chunk_idx):
+    import pickle
+    import tempfile
+
+    host_ts = jax.device_get(ts)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(CKPT) or ".")
+    with os.fdopen(fd, "wb") as fh:
+        pickle.dump({"ts": host_ts, "chunk": chunk_idx}, fh)
+    os.replace(tmp, CKPT)
+
+
+def _load_ckpt():
+    import pickle
+
+    if not (CKPT and os.path.exists(CKPT)):
+        return None
+    with open(CKPT, "rb") as fh:
+        return pickle.load(fh)
 
 
 def make_sampling(batch):
@@ -135,16 +159,26 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
     ts = init_train_state(params, opt, method)
     run = jax.jit(step_fn)
 
+    start_chunk = 0
+    saved = _load_ckpt()
+    if saved is not None:
+        ts = jax.tree.map(jnp.asarray, saved["ts"])
+        start_chunk = saved["chunk"]
+        print(f"resumed from {CKPT} at chunk {start_chunk} "
+              f"({start_chunk * CHUNK} iters)", flush=True)
+
     t0 = time.time()
-    for i in range(num_iters // CHUNK):
+    for i in range(start_chunk, num_iters // CHUNK):
         ts, m = run(ts, jax.random.fold_in(jax.random.key(2), i))
+        if CKPT and (i + 1) % int(os.environ.get("NS_CKPT_EVERY", "25")) == 0:
+            _save_ckpt(ts, i + 1)
         if (i + 1) % 50 == 0:
             print(f"iter {(i + 1) * CHUNK}: loss {float(m['loss'][-1]):.4f} "
                   f"gnorm_max {float(m['gnorm'].max()):.3g} "
                   f"med {float(jnp.median(m['gnorm'])):.3g} "
                   f"skips {int(m['skipped'].sum())} "
-                  f"({(i + 1) * CHUNK / (time.time() - t0):.0f} steps/s)",
-                  flush=True)
+                  f"({((i + 1) - start_chunk) * CHUNK / (time.time() - t0):.0f}"
+                  f" steps/s)", flush=True)
     train_time = time.time() - t0
 
     # eval under the sampling measure with conjugation (EMA params)
