@@ -70,7 +70,7 @@ while sum(_shell_size(n) for n in range(_N_SHELLS)) < NEIGS:
 assert sum(_shell_size(n) for n in range(_N_SHELLS)) == NEIGS, (
     f"NEIGS={NEIGS} must close a hydrogen shell "
     f"({'1, 4, 9, 16, 25, 36' if NDIM == 2 else '1, 5, 14, 30'}…)")
-SEQUENTIAL = True
+SEQUENTIAL = os.environ.get("NS_SEQ", "1") == "1"
 BATCH = int(os.environ.get("NS_BATCH", "512"))
 SCALE = 16.0     # widest gaussian scale (reference hydrogen.sh)
 LAP_EPS = 0.1    # FD; f32-safe (see verify skill); <= 0 for exact autodiff
