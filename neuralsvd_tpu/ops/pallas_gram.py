@@ -33,6 +33,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from neuralsvd_tpu.ops.gram import off_diagonal
+
 LANE = 128
 TILE_B = 512
 
@@ -299,8 +301,7 @@ def _pl_cdk_fwd(set_first_mode_const, f, g, vector_mask, matrix_mask,
                       precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
     rs_joint = jnp.diagonal(gram)
-    n = gram.shape[-1]
-    rs_indep = gram.reshape(n * n)[:-1].reshape(n - 1, n + 1)[:, 1:].reshape(-1)
+    rs_indep = off_diagonal(gram)
     out = (loss, loss_operator, loss_metric, rs_joint, rs_indep)
     return out, (f, g, lam_f, lam_g, vector_mask, matrix_mask, batch_weights)
 

@@ -110,10 +110,17 @@ def _save_ckpt(ts, chunk_idx):
     import tempfile
 
     host_ts = jax.device_get(ts)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(CKPT) or ".")
-    with os.fdopen(fd, "wb") as fh:
-        pickle.dump({"ts": host_ts, "chunk": chunk_idx}, fh)
-    os.replace(tmp, CKPT)
+    ckpt_dir = os.path.dirname(CKPT) or "."
+    os.makedirs(ckpt_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=ckpt_dir)
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            pickle.dump({"ts": host_ts, "chunk": chunk_idx}, fh)
+        os.replace(tmp, CKPT)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 def _load_ckpt():
@@ -240,7 +247,11 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         "max_rel_err_aligned": float(rel_aligned.max()),
         "max_off_diag_corr": max_off,
         "num_iters": num_iters,
-        "train_steps_per_sec": round(num_iters / train_time, 1),
+        # throughput counts only the steps THIS process trained (a resumed
+        # run starts at start_chunk * CHUNK, not 0 — ADVICE r2)
+        "train_steps_per_sec": round(
+            (num_iters - start_chunk * CHUNK) / train_time, 1),
+        "resumed_at_iter": start_chunk * CHUNK,
         "target": 1e-3,
         "config": {"mix": MIX_SCALES, "mix_weights": MIX_WEIGHTS,
                    "envelopes": ENVELOPES,
