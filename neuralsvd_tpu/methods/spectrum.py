@@ -183,8 +183,63 @@ def compute_spectrum_svd(apply_fn, dataloader, sort: bool = False,
     return spectrum, orth_x, orth_y
 
 
-def grouped_rayleigh(quad_diag, cov_diag, group_sizes):
-    """Degeneracy-aware Rayleigh estimates.
+def mode_health(cov, quad, corr_thresh: float = 0.5,
+                dead_rel: float = 1e-3):
+    """Dead/duplicate-mode diagnosis from the (L, L) accumulators.
+
+    A collapsed run parks near-zero-amplitude modes on already-occupied
+    eigendirections — loss-free under norm-invariant Rayleigh objectives
+    (observed at hydrogen L=36, BASELINE.md) — and the signals are already
+    in the accumulators: a duplicate has |corr| ≈ 1 with the mode it
+    copies, a dead mode has cov-diag ≈ 0.  Greedy scan by norm descending:
+    a mode whose |corr| with any already-kept mode exceeds ``corr_thresh``
+    is a duplicate of it (the higher-norm copy is the one kept); a mode
+    whose norm is below ``dead_rel`` × median norm is dead.
+
+    Returns a dict with ``healthy`` (bool L), ``duplicate_of`` (int L, −1
+    for healthy), ``dead`` (bool L), ``rayleigh``, ``norms``, ``corr``.
+    """
+    cov = np.asarray(cov, dtype=np.float64)
+    quad = np.asarray(quad, dtype=np.float64)
+    norms = np.diag(cov).copy()
+    rayleigh = np.diag(quad) / np.maximum(norms, 1e-300)
+    denom = np.sqrt(np.maximum(np.outer(norms, norms), 1e-300))
+    corr = cov / denom
+    L = cov.shape[0]
+    dead = norms < dead_rel * np.median(norms)
+    duplicate_of = np.full(L, -1, dtype=np.int64)
+    kept: list = []
+    for i in np.argsort(norms)[::-1]:
+        dup = next((j for j in kept if abs(corr[i, j]) > corr_thresh), None)
+        if dup is None:
+            kept.append(int(i))
+        else:
+            duplicate_of[i] = dup
+    healthy = (duplicate_of < 0) & ~dead
+    return {"healthy": healthy, "duplicate_of": duplicate_of, "dead": dead,
+            "rayleigh": rayleigh, "norms": norms, "corr": corr}
+
+
+def format_mode_health(health) -> str:
+    """Human-readable dead/duplicate report ('' when all modes healthy)."""
+    lines = []
+    dup = health["duplicate_of"]
+    for i in np.nonzero(dup >= 0)[0]:
+        j = dup[i]
+        lines.append(f"DUPLICATE: mode {i} ~ mode {j} "
+                     f"(corr {health['corr'][i, j]:+.3f}, "
+                     f"norms {health['norms'][i]:.3g}/{health['norms'][j]:.3g})")
+    for i in np.nonzero(health["dead"] & (dup < 0))[0]:
+        lines.append(f"DEAD: mode {i} (norm {health['norms'][i]:.3g})")
+    if lines:
+        n_bad = int((~health["healthy"]).sum())
+        lines.append(f"{n_bad}/{len(dup)} modes dead or duplicate")
+    return "\n".join(lines)
+
+
+def grouped_rayleigh(quad_diag, cov_diag, group_sizes, cov=None,
+                     corr_thresh: float = 0.5):
+    """Degeneracy-aware Rayleigh estimates — collapse-aware.
 
     Within a degenerate eigenspace the learned modes converge to an
     arbitrary rotation of the true eigenfunctions, so individual Rayleigh
@@ -194,28 +249,60 @@ def grouped_rayleigh(quad_diag, cov_diag, group_sizes):
     grouped by the problem's known degeneracy structure
     (operators/ground_truths.py get_degeneracy).
 
+    With ``cov`` (the full (L, L) accumulator) given, pooling REFUSES any
+    group containing a dead/duplicate mode (mode_health) and reports raw
+    per-mode quotients for it instead: a collapsed run must not have its
+    spurious modes laundered into a real group's trace (round-2 L=36
+    lesson — the positional bucketing mis-filed corr-0.99 duplicates and
+    under-reported the failure, VERDICT r2).
+
     Args: diagonals of the quad/cov accumulators (L,), group sizes summing
     to <= L.  Returns per-mode pooled estimates (L,), sorted descending.
     """
     quad_diag = np.asarray(quad_diag, dtype=np.float64)
     cov_diag = np.asarray(cov_diag, dtype=np.float64)
     rayleigh = quad_diag / cov_diag
+    bad = np.zeros(len(rayleigh), dtype=bool)
+    if cov is not None:
+        quad_full = np.diag(quad_diag)
+        health = mode_health(cov, quad_full, corr_thresh=corr_thresh)
+        bad = ~health["healthy"]
     order = np.argsort(rayleigh)[::-1]
     out = np.array(rayleigh, dtype=np.float64)
     start = 0
     for gsize in group_sizes:
         idx = order[start:start + int(gsize)]
-        out[idx] = quad_diag[idx].sum() / cov_diag[idx].sum()
+        if not bad[idx].any():
+            out[idx] = quad_diag[idx].sum() / cov_diag[idx].sum()
         start += int(gsize)
     return np.sort(out)[::-1]
 
 
-def post_alignment(eigfuncs, cov, quad):
+def post_alignment(eigfuncs, cov, quad, cond_limit: float = 1e10):
     """Post-hoc orthogonalization: whiten by cov, diagonalize quad.
 
     Reference: methods/spectrum.py:161-169.
+
+    When cov is near-singular (duplicate/dead modes make it rank
+    -deficient) the whitening amplifies noise unboundedly — the round-2
+    L=36 logs show aligned eigvals reaching −2.5e9.  Guard: if
+    cond(cov) > ``cond_limit`` a warning is emitted and the whitening
+    eigenvalues are floored at max(eigval)/cond_limit, so the output is
+    bounded and explicitly flagged instead of silently garbage.
     """
+    import warnings
+
     eigvals_cov, eigvecs_cov = eigh(cov)
+    emax = float(eigvals_cov.max())
+    cond = emax / max(float(eigvals_cov.min()), 1e-300)
+    if cond > cond_limit:
+        warnings.warn(
+            f"post_alignment: cov is near-singular (cond {cond:.3g} > "
+            f"{cond_limit:.1g}) — dead/duplicate modes likely (see "
+            "mode_health); whitening eigenvalues floored, aligned "
+            "eigenvalues beyond the healthy subspace are meaningless",
+            RuntimeWarning, stacklevel=2)
+        eigvals_cov = np.maximum(eigvals_cov, emax / cond_limit)
     whitening = eigvecs_cov @ np.diag(1 / np.sqrt(eigvals_cov)) @ eigvecs_cov.T
     eigvals, V = eigh(whitening @ quad @ whitening)
     eigvals = np.sqrt(np.abs(eigvals[::-1]))

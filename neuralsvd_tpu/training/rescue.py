@@ -1,0 +1,126 @@
+"""Dead/duplicate-mode rescue: eigval-sorted reordering + tail re-init.
+
+Mechanism (hydrogen L=36 collapse, BASELINE.md / VERDICT r2): a
+near-zero-amplitude mode parked on an already-occupied eigendirection is
+loss-free under the norm-invariant NestedLoRA objective — its operator
+reward and metric penalty both vanish with its norm, so the saddle traps
+it (gradient is O(amplitude²)).  The escape is a host-side intervention
+between jitted chunks:
+
+1. diagnose dead/duplicate modes from the eval accumulators
+   (methods/spectrum.py mode_health — the signals, cov-diag ≈ 0 and
+   |corr| ≈ 1, are already computed);
+2. permute modes so healthy ones sit first in Rayleigh-descending order —
+   under sequential nesting mode i's objective deflates only against
+   modes j < i, so spurious modes must be exiled to the TAIL where
+   deflation against every healthy mode forces a fresh init onto the
+   unoccupied directions (re-initializing in place would just re-collapse
+   onto a direction owned by a later slot);
+3. re-initialize the exiled tail slots from a fresh init(key) draw, reset
+   their EMA to the fresh params and zero their optimizer moments (the
+   same state a from-scratch mode starts with).
+
+All per-mode state is recognized structurally: any pytree leaf whose
+leading axis equals the mode count L (ParallelMLP (L, h, d) weights,
+per-mode mask scales, their RMSprop moments and EMA copies).  Shared
+leaves (Fourier feature maps, scalar schedule counts) pass through
+untouched.  Reference-side counterpart: methods/nestedlora.py:195-209
+registers eigval sort orders but has no restart mechanism — the collapse
+this fixes is unaddressed upstream.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralsvd_tpu.methods.spectrum import mode_health
+from neuralsvd_tpu.training.train_state import TrainState
+
+
+def tree_permute_modes(tree, perm):
+    """Permute axis 0 of every leaf whose leading dim == len(perm).
+
+    Leaves without a mode axis (shared feature maps, scalars) are
+    returned unchanged.  The caller guarantees no shared leaf aliases the
+    mode count on its leading axis (true for every shipped model: hidden
+    dims and Fourier mapping sizes are ≥ 128 ≫ L only when distinct —
+    asserted at the call site via the model's known structure).
+    """
+    perm = jnp.asarray(np.asarray(perm))
+    L = perm.shape[0]
+
+    def _permute(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == L:
+            return jnp.take(leaf, perm, axis=0)
+        return leaf
+
+    return jax.tree.map(_permute, tree)
+
+
+def _tree_splice_tail(old_tree, fresh_tree, neigs: int, n_tail: int):
+    """Replace the last ``n_tail`` mode slices of old with fresh ones."""
+
+    def _splice(old, fresh):
+        if hasattr(old, "ndim") and old.ndim >= 1 and old.shape[0] == neigs:
+            return old.at[neigs - n_tail:].set(fresh[neigs - n_tail:])
+        return old
+
+    return jax.tree.map(_splice, old_tree, fresh_tree)
+
+
+def _tree_zero_tail(tree, neigs: int, n_tail: int):
+    def _zero(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == neigs:
+            return leaf.at[neigs - n_tail:].set(jnp.zeros_like(
+                leaf[neigs - n_tail:]))
+        return leaf
+
+    return jax.tree.map(_zero, tree)
+
+
+def rescue_plan(health):
+    """Permutation placing healthy modes first (Rayleigh descending).
+
+    Returns (perm, n_spurious); perm is None when every mode is healthy.
+    Spurious modes (duplicates + dead) land in the tail slots, ordered by
+    norm so repeat diagnoses are stable.
+    """
+    healthy = np.asarray(health["healthy"])
+    if healthy.all():
+        return None, 0
+    rayleigh = np.asarray(health["rayleigh"])
+    good = np.nonzero(healthy)[0]
+    bad = np.nonzero(~healthy)[0]
+    good = good[np.argsort(rayleigh[good])[::-1]]
+    bad = bad[np.argsort(np.asarray(health["norms"])[bad])[::-1]]
+    return np.concatenate([good, bad]), len(bad)
+
+
+def rescue_modes(ts: TrainState, init_fn: Callable, key, cov, quad,
+                 neigs: int, corr_thresh: float = 0.5,
+                 dead_rel: float = 1e-3):
+    """Diagnose and repair a collapsed TrainState.
+
+    Returns (new_ts, info).  info["n_spurious"] == 0 means no-op (the
+    state object is returned unchanged).  ``init_fn(key)`` must be the
+    model's param initializer (fresh tail draws come from it).
+    """
+    health = mode_health(cov, quad, corr_thresh=corr_thresh,
+                         dead_rel=dead_rel)
+    perm, n_bad = rescue_plan(health)
+    info = {"health": health, "n_spurious": n_bad}
+    if n_bad == 0:
+        return ts, info
+    params = tree_permute_modes(ts.params, perm)
+    ema = tree_permute_modes(ts.ema_params, perm)
+    opt_state = tree_permute_modes(ts.opt_state, perm)
+    fresh = init_fn(key)
+    params = _tree_splice_tail(params, fresh, neigs, n_bad)
+    ema = _tree_splice_tail(ema, fresh, neigs, n_bad)
+    opt_state = _tree_zero_tail(opt_state, neigs, n_bad)
+    info["perm"] = perm
+    return TrainState(step=ts.step, params=params, opt_state=opt_state,
+                      ema_params=ema, method_state=ts.method_state), info

@@ -99,6 +99,18 @@ else:
     EXP_MASK_SCALE = float(_ems)
 CHUNK = int(os.environ.get("NS_CHUNK", "1000"))
 EVAL_ROUNDS = int(os.environ.get("NS_EVAL_ROUNDS", "64"))
+# Dead/duplicate-mode rescue (training/rescue.py): periodic diagnosis on
+# the raw params; spurious modes are exiled to the tail slots and
+# re-initialized while the cosine LR is still healthy.  The L=36 collapse
+# (BASELINE.md) is a stable saddle — without this, 4 modes park on the
+# 1s/n=1 directions and the n=5 shell stays 5 modes short.
+BF16 = os.environ.get("NS_BF16", "0") == "1"  # bf16 tower einsums (exact
+# -JVP path only: FD stencils cancel catastrophically in bf16; features,
+# grams, Cholesky stay f32 — the CDK compute_dtype recipe, VERDICT r2 §7)
+RESCUE = os.environ.get("NS_RESCUE", "0") == "1"
+RESCUE_EVERY = int(os.environ.get("NS_RESCUE_EVERY", "50000"))
+RESCUE_END_FRAC = float(os.environ.get("NS_RESCUE_END", "0.7"))
+RESCUE_ROUNDS = int(os.environ.get("NS_RESCUE_ROUNDS", "8"))
 CKPT = os.environ.get("NS_CKPT", "")  # pickle path: save/resume TrainState
 # (the axon tunnel can wedge mid-run — observed once at L=36 after 500k
 # iters; with NS_CKPT a rerun resumes from the last saved chunk, schedule
@@ -106,30 +118,19 @@ CKPT = os.environ.get("NS_CKPT", "")  # pickle path: save/resume TrainState
 
 
 def _save_ckpt(ts, chunk_idx):
-    import pickle
-    import tempfile
+    # one checkpoint code path (training/checkpoint.py orbax; VERDICT r2
+    # item 8 — the round-2 pickle is only still *read*, never written)
+    from neuralsvd_tpu.training.checkpoint import save_resumable
 
-    host_ts = jax.device_get(ts)
-    ckpt_dir = os.path.dirname(CKPT) or "."
-    os.makedirs(ckpt_dir, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=ckpt_dir)
-    try:
-        with os.fdopen(fd, "wb") as fh:
-            pickle.dump({"ts": host_ts, "chunk": chunk_idx}, fh)
-        os.replace(tmp, CKPT)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    save_resumable(CKPT, ts, chunk_idx)
 
 
-def _load_ckpt():
-    import pickle
-
-    if not (CKPT and os.path.exists(CKPT)):
+def _load_ckpt(template_ts):
+    if not CKPT:
         return None
-    with open(CKPT, "rb") as fh:
-        return pickle.load(fh)
+    from neuralsvd_tpu.training.checkpoint import load_resumable
+
+    return load_resumable(CKPT, template_ts)
 
 
 def make_sampling(batch):
@@ -155,7 +156,12 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         exp_mask_init_scale=EXP_MASK_SCALE,
         exp_mask_conjugate_importance=(
             importance if os.environ.get("NS_EXP_MASK_CONJ") == "1"
-            else None))
+            else None),
+        compute_dtype=(jnp.bfloat16 if BF16 else None))
+    if BF16 and lap_eps > 0:
+        raise SystemExit("NS_BF16=1 requires the exact Laplacian "
+                         "(lap_eps <= 0): FD stencils are numerically "
+                         "fatal in bf16")
     params = init(jax.random.key(0))
     method = NestedLoRA(apply, neigs=NEIGS, sequential=SEQUENTIAL)
     opt = torch_rmsprop(cosine_annealing(1e-4, num_iters), alpha=0.999)
@@ -167,16 +173,55 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
     run = jax.jit(step_fn)
 
     start_chunk = 0
-    saved = _load_ckpt()
+    saved = _load_ckpt(ts)
     if saved is not None:
-        ts = jax.tree.map(jnp.asarray, saved["ts"])
-        start_chunk = saved["chunk"]
+        ts, start_chunk = saved
         print(f"resumed from {CKPT} at chunk {start_chunk} "
               f"({start_chunk * CHUNK} iters)", flush=True)
+
+    # eval accumulator (also used by the rescue diagnosis mid-training)
+    eval_sampler, _ = make_sampling(8192)
+
+    @jax.jit
+    def accum(params, key):
+        x = eval_sampler(key)
+        Tf, f = operator(lambda xx: apply(params, xx), x, importance)
+        cov = jnp.einsum("bl,bm->lm", f, f)
+        quad = jnp.einsum("bl,bm->lm", f, Tf)
+        return cov, quad
+
+    def accum_rounds(params, rounds, seed=3):
+        cov = quad = 0.0
+        for r in range(rounds):
+            c, q = accum(params, jax.random.fold_in(jax.random.key(seed), r))
+            cov, quad = cov + c, quad + q
+        return np.asarray(cov), np.asarray(quad)
+
+    def maybe_rescue(ts, it_done):
+        from neuralsvd_tpu.methods.spectrum import format_mode_health
+        from neuralsvd_tpu.training.rescue import rescue_modes
+
+        cov, quad = accum_rounds(ts.params, RESCUE_ROUNDS,
+                                 seed=11 + it_done)
+        ts, info = rescue_modes(
+            ts, init, jax.random.fold_in(jax.random.key(7), it_done),
+            cov, quad, NEIGS)
+        if info["n_spurious"]:
+            print(f"[rescue @ {it_done}] exiled + re-initialized "
+                  f"{info['n_spurious']} modes:\n"
+                  f"{format_mode_health(info['health'])}", flush=True)
+        else:
+            print(f"[rescue @ {it_done}] all modes healthy", flush=True)
+        return ts
 
     t0 = time.time()
     for i in range(start_chunk, num_iters // CHUNK):
         ts, m = run(ts, jax.random.fold_in(jax.random.key(2), i))
+        it_done = (i + 1) * CHUNK
+        if (RESCUE and it_done % RESCUE_EVERY == 0
+                and it_done <= RESCUE_END_FRAC * num_iters
+                and it_done < num_iters):
+            ts = maybe_rescue(ts, it_done)
         if CKPT and (i + 1) % int(os.environ.get("NS_CKPT_EVERY", "25")) == 0:
             _save_ckpt(ts, i + 1)
         if (i + 1) % 50 == 0:
@@ -189,17 +234,12 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
     train_time = time.time() - t0
 
     # eval under the sampling measure with conjugation (EMA params)
-    eval_sampler, _ = make_sampling(8192)
-
-    @jax.jit
-    def accum(params, key):
-        x = eval_sampler(key)
-        Tf, f = operator(lambda xx: apply(params, xx), x, importance)
-        cov = jnp.einsum("bl,bm->lm", f, f)
-        quad = jnp.einsum("bl,bm->lm", f, Tf)
-        return cov, quad
-
     from scipy.linalg import eigh as scipy_eigh
+
+    from neuralsvd_tpu.methods.spectrum import (
+        format_mode_health,
+        mode_health,
+    )
 
     gt_sorted = np.sort(np.asarray(gt))[::-1]
     gt_problem = Hydrogen2D() if NDIM == 2 else Hydrogen3D()
@@ -208,17 +248,20 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
     assert group_sizes.sum() == NEIGS
 
     def spectrum_of(params, tag):
-        cov = quad = 0.0
-        for i in range(EVAL_ROUNDS):
-            c, q = accum(params, jax.random.fold_in(jax.random.key(3), i))
-            cov, quad = cov + c, quad + q
-        cov, quad = np.asarray(cov), np.asarray(quad)
+        cov, quad = accum_rounds(params, EVAL_ROUNDS, seed=3)
         rayleigh = np.sort(np.diag(quad) / np.diag(cov))[::-1]
         rel = np.abs(rayleigh - gt_sorted) / np.abs(gt_sorted)
         covn = cov / np.sqrt(np.outer(np.diag(cov), np.diag(cov)))
         max_off = float(np.abs(covn - np.eye(NEIGS)).max())
-        # degeneracy-aware pooled estimates (rotation-invariant per group)
-        grouped = grouped_rayleigh(np.diag(quad), np.diag(cov), group_sizes)
+        # dead/duplicate-mode report (collapse-aware eval, VERDICT r2 §2)
+        health = mode_health(cov, quad)
+        report = format_mode_health(health)
+        if report:
+            print(f"[{tag}] {report}")
+        # degeneracy-aware pooled estimates (rotation-invariant per group;
+        # pooling refuses groups containing dead/duplicate modes)
+        grouped = grouped_rayleigh(np.diag(quad), np.diag(cov), group_sizes,
+                                   cov=cov)
         rel_grouped = np.abs(grouped - gt_sorted) / np.abs(gt_sorted)
         # post-hoc orthogonalization: whiten cov, diagonalize quad; exact
         # if span(f) contains the top-L eigenspace even when modes mix
@@ -234,11 +277,12 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         print(f"[{tag}] aligned: ", np.round(aligned, 4))
         print(f"[{tag}] rel-al:  ", np.round(rel_aligned, 5))
         print(f"[{tag}] max_off_corr {max_off:.4f}")
-        return rel, rel_grouped, rel_aligned, max_off
+        return rel, rel_grouped, rel_aligned, max_off, health
 
     print("analytic:", np.round(gt_sorted, 4))
     spectrum_of(ts.params, "raw")
-    rel, rel_grouped, rel_aligned, max_off = spectrum_of(ts.ema_params, "ema")
+    (rel, rel_grouped, rel_aligned, max_off,
+     health) = spectrum_of(ts.ema_params, "ema")
     print(json.dumps({
         "metric": f"hydrogen{NDIM}d_L{NEIGS}_eigval_max_rel_err_grouped",
         "value": float(rel_grouped.max()),
@@ -246,6 +290,7 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         "median_rel_err": float(np.median(rel)),
         "max_rel_err_aligned": float(rel_aligned.max()),
         "max_off_diag_corr": max_off,
+        "n_spurious_modes": int((~health["healthy"]).sum()),
         "num_iters": num_iters,
         # throughput counts only the steps THIS process trained (a resumed
         # run starts at start_chunk * CHUNK, not 0 — ADVICE r2)
@@ -256,7 +301,8 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         "config": {"mix": MIX_SCALES, "mix_weights": MIX_WEIGHTS,
                    "envelopes": ENVELOPES,
                    "radial": RADIAL, "exp_mask": EXP_MASK,
-                   "batch": BATCH, "lap_eps": lap_eps},
+                   "batch": BATCH, "lap_eps": lap_eps,
+                   "rescue": RESCUE, "bf16": BF16},
     }))
 
 

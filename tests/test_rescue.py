@@ -1,0 +1,219 @@
+"""Dead/duplicate-mode diagnosis (methods/spectrum.py mode_health) and
+rescue surgery (training/rescue.py) — the L=36 collapse countermeasures.
+
+The synthetic fixtures reproduce the round-2 H36 signature: a low-norm
+mode parked on an occupied direction (|corr| ~ 1) and a near-zero-norm
+dead mode (BASELINE.md "Hydrogen L=36").
+"""
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralsvd_tpu.methods.spectrum import (
+    format_mode_health,
+    grouped_rayleigh,
+    mode_health,
+    post_alignment,
+)
+from neuralsvd_tpu.models import make_wavefunctions
+from neuralsvd_tpu.training.optimizers import torch_rmsprop
+from neuralsvd_tpu.training.rescue import (
+    rescue_modes,
+    rescue_plan,
+    tree_permute_modes,
+)
+from neuralsvd_tpu.training.train_state import TrainState, init_train_state
+
+
+def _synthetic_accumulators(rng, eigvals, dup_pairs=(), dead=(), n=20000):
+    """cov/quad for modes f_i = a_i * (u_{e_i} + noise): orthonormal
+    directions u scaled by sqrt(eigval) norms, with selected modes made
+    duplicates (same direction, small amplitude) or dead (tiny norm)."""
+    L = len(eigvals)
+    basis = np.linalg.qr(rng.standard_normal((n, L + 4)))[0]
+    f = np.zeros((n, L))
+    lam = np.zeros(L)
+    for i, ev in enumerate(eigvals):
+        f[:, i] = np.sqrt(ev) * basis[:, i] * np.sqrt(n)
+        lam[i] = ev
+    for i, j, amp in dup_pairs:  # mode i := amp-scaled copy of mode j
+        f[:, i] = amp * f[:, j]
+        lam[i] = lam[j]
+    for i in dead:
+        f[:, i] = 1e-6 * basis[:, L + 1] * np.sqrt(n)
+        lam[i] = 0.5
+    cov = f.T @ f / n
+    quad = cov * lam[None, :]  # T f_i = lam_i f_i exactly here
+    return cov, quad
+
+
+def test_mode_health_detects_duplicates_and_dead(rng):
+    cov, quad = _synthetic_accumulators(
+        rng, [100.0, 11.0, 11.0, 4.0, 4.0],
+        dup_pairs=[(2, 0, 0.7)], dead=[4])
+    h = mode_health(cov, quad)
+    assert h["duplicate_of"][2] == 0
+    assert h["dead"][4]
+    assert not h["healthy"][2] and not h["healthy"][4]
+    assert h["healthy"][[0, 1, 3]].all()
+    report = format_mode_health(h)
+    assert "DUPLICATE: mode 2 ~ mode 0" in report
+    assert "DEAD: mode 4" in report
+
+
+def test_mode_health_clean_spectrum(rng):
+    cov, quad = _synthetic_accumulators(rng, [9.0, 7.0, 5.0, 3.0])
+    h = mode_health(cov, quad)
+    assert h["healthy"].all()
+    assert format_mode_health(h) == ""
+
+
+def test_grouped_rayleigh_refuses_collapsed_groups(rng):
+    # True spectrum 100, 11x3: mode 1 is a duplicate of mode 0 whose
+    # Rayleigh (100) positionally lands inside the 11-group. Without cov
+    # the pooling would launder it; with cov the group is left unpooled.
+    cov, quad = _synthetic_accumulators(
+        rng, [100.0, 11.0, 11.0, 11.0], dup_pairs=[(3, 0, 0.5)])
+    gsizes = [1, 3]
+    pooled_blind = grouped_rayleigh(np.diag(quad), np.diag(cov), gsizes)
+    pooled_aware = grouped_rayleigh(np.diag(quad), np.diag(cov), gsizes,
+                                    cov=cov)
+    gt = np.array([100.0, 11.0, 11.0, 11.0])
+    # collapse-aware error must NOT be smaller than the blind pooling's
+    err_blind = np.abs(pooled_blind - gt) / gt
+    err_aware = np.abs(pooled_aware - gt) / gt
+    assert err_aware.max() >= err_blind.max()
+    assert err_aware.max() > 0.5  # the duplicate's 100 in an 11-slot shows
+
+
+def test_grouped_rayleigh_healthy_path_unchanged(rng):
+    cov, quad = _synthetic_accumulators(rng, [100.0, 11.0, 11.0, 11.0])
+    gsizes = [1, 3]
+    blind = grouped_rayleigh(np.diag(quad), np.diag(cov), gsizes)
+    aware = grouped_rayleigh(np.diag(quad), np.diag(cov), gsizes, cov=cov)
+    np.testing.assert_allclose(blind, aware)
+
+
+def test_post_alignment_warns_on_singular_cov(rng):
+    cov, quad = _synthetic_accumulators(
+        rng, [100.0, 11.0, 11.0], dead=[2])
+    eigfuncs = rng.standard_normal((64, 3))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, vals, _ = post_alignment(eigfuncs, cov, quad)
+    assert any("near-singular" in str(x.message) for x in w)
+    assert np.isfinite(vals).all()
+    assert np.abs(vals).max() < 1e6  # floored, not -2.5e9 garbage
+
+
+# ---------------------------------------------------------------------------
+# rescue surgery on a real ParallelMLP TrainState
+# ---------------------------------------------------------------------------
+
+L = 4
+
+
+@pytest.fixture(scope="module")
+def wf():
+    init, apply = make_wavefunctions(
+        ndim=2, neigs=L, mlp_hidden_dims=[16, 16], nonlinearity="softplus",
+        parallel=True, use_fourier_feature=True, fourier_mapping_size=32,
+        fourier_scale=1.0, fourier_append_radial=True,
+        apply_boundary=False, apply_exp_mask=True, exp_mask_init_scale=5.0)
+    return init, apply
+
+
+def _make_ts(init):
+    opt = torch_rmsprop(1e-3)
+
+    class _M:
+        def init_state(self, params):
+            return {}
+
+    ts = init_train_state(init(jax.random.key(0)), opt, _M())
+    # non-trivial opt moments / ema so permutation is observable
+    nz = jax.tree.map(lambda p: jnp.abs(p) + 0.1, ts.params)
+    opt_state = (type(ts.opt_state[0])(nu=nz, momentum=nz), ts.opt_state[1])
+    return ts._replace(opt_state=opt_state)
+
+
+def test_tree_permute_modes_roundtrip(wf):
+    init, apply = wf
+    ts = _make_ts(init)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((8, 2)),
+                    jnp.float32)
+    out = apply(ts.params, x)
+    perm = np.array([2, 0, 3, 1])
+    p2 = tree_permute_modes(ts.params, perm)
+    out2 = apply(p2, x)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out)[:, perm],
+                               rtol=1e-6)
+    # shared fourier feature map untouched
+    b_old = ts.params["base"]["feature_map"]
+    b_new = p2["base"]["feature_map"]
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 b_old, b_new)
+
+
+def test_rescue_modes_surgery(wf):
+    init, apply = wf
+    ts = _make_ts(init)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((8, 2)),
+                    jnp.float32)
+    out_before = np.asarray(apply(ts.params, x))
+
+    # synthetic accumulators: mode 1 duplicates mode 0; healthy rayleigh
+    # order is 0 (100) > 3 (11) > 2 (4)
+    rng = np.random.default_rng(2)
+    cov, quad = _synthetic_accumulators(
+        rng, [100.0, 100.0, 4.0, 11.0], dup_pairs=[(1, 0, 0.4)])
+    ts2, info = rescue_modes(ts, init, jax.random.key(9), cov, quad, L)
+    assert info["n_spurious"] == 1
+    np.testing.assert_array_equal(info["perm"], [0, 3, 2, 1])
+    out_after = np.asarray(apply(ts2.params, x))
+    # healthy modes carried over exactly, in rayleigh order
+    np.testing.assert_allclose(out_after[:, :3], out_before[:, [0, 3, 2]],
+                               rtol=1e-6)
+    # tail slot re-initialized: equals a fresh init's mode-1-origin slice?
+    # (fresh params spliced at tail positions) — output must differ from
+    # every old mode
+    for j in range(L):
+        assert np.abs(out_after[:, 3] - out_before[:, j]).max() > 1e-6
+    # ema tail equals params tail (fresh start), healthy ema permuted
+    np.testing.assert_allclose(
+        np.asarray(ts2.ema_params["base"]["ws"][0][3]),
+        np.asarray(ts2.params["base"]["ws"][0][3]))
+    # optimizer moments: tail zeroed, healthy slices permuted
+    nu = ts2.opt_state[0].nu["base"]["ws"][0]
+    assert float(jnp.abs(nu[3]).max()) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(nu[:3]),
+        np.asarray(ts.opt_state[0].nu["base"]["ws"][0])[[0, 3, 2]])
+    # per-mode exp-mask scales permuted too
+    np.testing.assert_allclose(
+        np.asarray(ts2.params["mask"]["scales"][:3]),
+        np.asarray(ts.params["mask"]["scales"])[[0, 3, 2]])
+
+
+def test_rescue_noop_when_healthy(wf):
+    init, _ = wf
+    ts = _make_ts(init)
+    rng = np.random.default_rng(3)
+    cov, quad = _synthetic_accumulators(rng, [100.0, 11.0, 4.0, 2.0])
+    ts2, info = rescue_modes(ts, init, jax.random.key(9), cov, quad, L)
+    assert info["n_spurious"] == 0
+    assert ts2 is ts
+
+
+def test_rescue_plan_orders_healthy_by_rayleigh():
+    health = {
+        "healthy": np.array([True, False, True, True]),
+        "rayleigh": np.array([4.0, 50.0, 100.0, 11.0]),
+        "norms": np.array([4.0, 0.5, 100.0, 11.0]),
+    }
+    perm, n_bad = rescue_plan(health)
+    assert n_bad == 1
+    np.testing.assert_array_equal(perm, [2, 3, 0, 1])
