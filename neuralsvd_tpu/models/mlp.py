@@ -134,6 +134,7 @@ def make_parallel_mlp(
     weight_normalization: bool = False,
     feature_map: Optional[Tuple[Callable, Callable]] = None,
     debug: bool = False,
+    compute_dtype=None,
 ):
     """L independent MLPs evaluated as one batched einsum chain.
 
@@ -144,6 +145,12 @@ def make_parallel_mlp(
     Faithful reference quirk: under weight normalization every layer is
     divided by the *first* layer's norm (examples/models/mlp.py:220-221);
     normalization defaults off, as in the experiments.
+
+    ``compute_dtype`` (e.g. jnp.bfloat16): run the tower einsums in a
+    lower precision while master weights, input features and the output
+    stay float32 — the CDK bf16-tower recipe (models/two_tower.py
+    compute_dtype, 3.1x e2e on v5e) applied to the eigenfunction towers.
+    Downstream Gram/Cholesky stays f32 (ops/gram.py pins HIGHEST).
     """
     act = get_activation(nonlinearity)
     dims = list(mlp_hidden_dims) + [output_dim]
@@ -180,6 +187,11 @@ def make_parallel_mlp(
             x = fm_apply(params.get("feature_map"), x)
         ws = params["ws"]
         bs = params["bs"] if bias else [0.0] * len(ws)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            ws = [w.astype(compute_dtype) for w in ws]
+            bs = [b.astype(compute_dtype) if hasattr(b, "astype") else b
+                  for b in bs]
         norm0 = _norm(ws[0])
         h = jnp.einsum("lhd,bd->lhb", ws[0] / norm0, x) + bs[0]
         h = act(h)
@@ -190,6 +202,8 @@ def make_parallel_mlp(
         out = jnp.transpose(h, (2, 0, 1))  # (B, L, O)
         if output_dim == 1:
             out = out[..., 0]  # (B, L)
+        if compute_dtype is not None:
+            out = out.astype(jnp.float32)
         return out
 
     return init, apply
@@ -216,6 +230,7 @@ def make_mlp_eigfuncs(
     parallel: bool = False,
     feature_map: Optional[Tuple[Callable, Callable]] = None,
     debug: bool = False,
+    compute_dtype=None,
 ):
     if not parallel:
         in_dim = input_dim if feature_map is None else _feature_dim(feature_map)
@@ -233,6 +248,7 @@ def make_mlp_eigfuncs(
         weight_normalization=weight_normalization,
         feature_map=feature_map,
         debug=debug,
+        compute_dtype=compute_dtype,
     )
 
 

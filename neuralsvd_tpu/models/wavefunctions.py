@@ -103,6 +103,7 @@ def make_wavefunctions(
     exp_mask_conjugate_importance=None,
     hard_mul_const: float = 1.0,
     debug: bool = False,
+    compute_dtype=None,
 ):
     """Build the full wavefunction model (reference: pde/__init__.py:19-55).
 
@@ -130,6 +131,7 @@ def make_wavefunctions(
         parallel=parallel,
         feature_map=feature_map,
         debug=debug,
+        compute_dtype=compute_dtype,
     )
 
     box = None

@@ -155,6 +155,38 @@ def test_hetero_network_bf16_compute_dtype(rng):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_parallel_mlp_bf16_compute_dtype(rng):
+    """bf16 eigenfunction towers (VERDICT r2 item 7): f32 master weights,
+    features and outputs; the einsum chain in bf16; exact-JVP Laplacian
+    (fwd-over-fwd) stays finite and close to f32."""
+    from neuralsvd_tpu.models import make_wavefunctions
+
+    kw = dict(ndim=2, neigs=4, mlp_hidden_dims=[32, 32],
+              nonlinearity="softplus", parallel=True,
+              use_fourier_feature=True, fourier_mapping_size=64,
+              fourier_scale=0.5, apply_boundary=False)
+    init, apply = make_wavefunctions(**kw)
+    _, apply16 = make_wavefunctions(**kw, compute_dtype=jnp.bfloat16)
+    params = init(jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(16, 2)).astype(np.float32))
+    f32 = apply(params, x)
+    f16 = apply16(params, x)
+    assert f16.dtype == jnp.float32
+    scale = np.abs(np.asarray(f32)).max()
+    np.testing.assert_allclose(np.asarray(f16), np.asarray(f32),
+                               atol=0.05 * scale, rtol=0.1)
+
+    # fwd-over-fwd JVP (the exact-Laplacian path) through the bf16 tower
+    def f_of_x(xx):
+        return apply16(params, xx)
+
+    v = jnp.zeros_like(x).at[:, 0].set(1.0)
+    _, d1 = jax.jvp(f_of_x, (x,), (v,))
+    _, d2 = jax.jvp(lambda xx: jax.jvp(f_of_x, (xx,), (v,))[1], (x,), (v,))
+    assert np.isfinite(np.asarray(d1)).all()
+    assert np.isfinite(np.asarray(d2)).all()
+
+
 def test_parse_dims():
     assert parse_dims("128,128,64") == [128, 128, 64]
     assert parse_dims("32") == [32]
