@@ -42,19 +42,28 @@ def main(cfg: PDEConfig):
     log.info("log dir: %s", log_dir)
 
     mesh = None
-    n_dev = 1
+    gspmd = False
+    dp_size = 1
     if cfg.mesh:
         from neuralsvd_tpu.parallel import make_mesh
+        from neuralsvd_tpu.parallel.sharding import parse_mesh_spec
 
-        n_dev = (len(jax.devices()) if cfg.mesh == "dp"
-                 else int(cfg.mesh.split("=", 1)[1]))
-        mesh = make_mesh(n_dev, axes=("dp",), shape=(n_dev,))
-        if cfg.batch_size % (2 * n_dev):
+        axes, shape = parse_mesh_spec(cfg.mesh, len(jax.devices()))
+        sizes = dict(zip(axes, shape))
+        dp_size = sizes.get("dp", 1)
+        n_dev = int(np.prod(shape))
+        mesh = make_mesh(n_dev, axes=axes, shape=shape)
+        # tp present -> GSPMD (compiler-inserted collectives, global
+        # batch); pure dp -> shard_map (explicit pmeans, per-device batch)
+        gspmd = sizes.get("tp", 1) > 1
+        sampler_div = 1 if gspmd else dp_size
+        if cfg.batch_size % (2 * dp_size):
             raise ValueError(
-                f"batch_size {cfg.batch_size} must divide by 2*n_devices="
-                f"{2 * n_dev} (even per-device metric half-batches)")
-        log.info("data-parallel mesh over %d devices "
-                 "(per-device batch %d)", n_dev, cfg.batch_size // n_dev)
+                f"batch_size {cfg.batch_size} must divide by 2*dp="
+                f"{2 * dp_size} (even per-device metric half-batches)")
+        log.info("mesh %s over %d devices (%s; sampler batch %d)",
+                 dict(sizes), n_dev, "GSPMD" if gspmd else "shard_map dp",
+                 cfg.batch_size // sampler_div)
 
     operator, ground_truth_spectrum, n_particles = get_problem(
         problem=cfg.problem, potential_type=cfg.potential_type,
@@ -90,11 +99,13 @@ def main(cfg: PDEConfig):
         if getattr(cfg, "sampling_weights", ""):
             weights = tuple(float(v) for v in cfg.sampling_weights.split(",")
                             if v)
-    # under a dp mesh each device draws its own batch: keep the configured
-    # batch_size GLOBAL by sampling batch_size // n_dev per device
+    # shard_map dp: each device draws its own batch — keep the configured
+    # batch_size GLOBAL by sampling batch_size // dp per device.  GSPMD:
+    # the sampler draws the global batch (rows pinned to dp inside
+    # train_operator via shard_batch_sampler).
     sample, importance_train = get_sampler(
-        cfg.sampling_mode, cfg.batch_size // n_dev, n_particles, cfg.ndim,
-        scale, sampling_weights=weights)
+        cfg.sampling_mode, cfg.batch_size // (1 if gspmd else dp_size),
+        n_particles, cfg.ndim, scale, sampling_weights=weights)
 
     val_batches = importance_val = None
     val_data = None
@@ -109,9 +120,11 @@ def main(cfg: PDEConfig):
         "spin": vars(cfg.loss.spin),
         "spinx": vars(cfg.loss.spin),
     }[cfg.loss.name]
-    method = get_evd_method(cfg.loss.name, apply, cfg.neigs, sort=cfg.sort,
-                            axis_name=("dp" if mesh is not None else None),
-                            **method_opts)
+    method = get_evd_method(
+        cfg.loss.name, apply, cfg.neigs, sort=cfg.sort,
+        # shard_map needs explicit pmeans; GSPMD must stay axis-free
+        axis_name=("dp" if (mesh is not None and not gspmd) else None),
+        **method_opts)
 
     lr_schedule = (cosine_annealing(cfg.lr, cfg.num_iters)
                    if cfg.use_lr_scheduler else None)

@@ -89,12 +89,14 @@ def get_args(argv=None):
                    default=True)
     p.add_argument("--use_pallas", type=str, default="auto",
                    choices=["auto", "true", "false"])
-    # parallelism: "" single device; "dp" all local devices; "dp=N"
+    # parallelism: "" single device; "dp"/"dp=N" shard_map data-parallel;
+    # "dp=N,tp=M" GSPMD with the mode axis (tower output L) tp-sharded
     p.add_argument("--mesh", type=str, default="")
     return p.parse_args(argv)
 
 
-def make_cdk_train_step(method, optimizer, grad_clip: float = 0.0):
+def make_cdk_train_step(method, optimizer, grad_clip: float = 0.0,
+                        jit: bool = True):
     """Jitted CDK step with nan/inf grad skipping (reference:
     main_sketchy.py:194-207 counts AMP skips; here any non-finite update is
     dropped and counted).
@@ -128,7 +130,7 @@ def make_cdk_train_step(method, optimizer, grad_clip: float = 0.0):
         skip_count = skip_count + jnp.where(finite, 0, 1)
         return params, opt_state, method_state, loss, aux, skip_count
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
 
 
 def make_density_ratio_fn(apply_fn, set_first_mode_const: bool):
@@ -181,22 +183,34 @@ def run_training(args, train_loader, test_loader, valid_loader, input_dim):
     params = init(jax.random.key(args.seed))
 
     mesh = None
+    gspmd = False
+    dp_size = 1
     if getattr(args, "mesh", ""):
-        from neuralsvd_tpu.parallel import make_mesh
+        import numpy as _np
 
-        n_dev = (len(jax.devices()) if args.mesh == "dp"
-                 else int(args.mesh.split("=", 1)[1]))
-        if args.batch_size % n_dev:
+        from neuralsvd_tpu.parallel import make_mesh
+        from neuralsvd_tpu.parallel.sharding import parse_mesh_spec
+
+        axes, shape = parse_mesh_spec(args.mesh, len(jax.devices()))
+        sizes = dict(zip(axes, shape))
+        gspmd = sizes.get("tp", 1) > 1  # tp present -> GSPMD dp x tp
+        dp_size = sizes.get("dp", 1)
+        if args.batch_size % dp_size:
             raise ValueError(f"batch_size {args.batch_size} must divide by "
-                             f"n_devices={n_dev} for dp sharding")
-        mesh = make_mesh(n_dev, axes=("dp",), shape=(n_dev,))
-        log.info("data-parallel mesh over %d devices", n_dev)
+                             f"dp={dp_size} for dp sharding")
+        if gspmd and args.neigs % sizes["tp"]:
+            raise ValueError(f"neigs {args.neigs} must divide by "
+                             f"tp={sizes['tp']} (mode-axis sharding)")
+        mesh = make_mesh(int(_np.prod(shape)), axes=axes, shape=shape)
+        log.info("mesh %s (%s)", dict(sizes),
+                 "GSPMD" if gspmd else "shard_map dp")
 
     method = get_cdk_method(args.loss_name, apply, args.neigs,
                             step=args.nsvd_step,
                             sequential=args.nsvd_sequential,
                             set_first_mode_const=args.nsvd_const,
-                            axis_name=("dp" if mesh is not None else None),
+                            axis_name=("dp" if (mesh is not None
+                                                and not gspmd) else None),
                             use_pallas=getattr(args, "use_pallas", "auto"))
     method_state = method.init_state(params)
 
@@ -212,7 +226,14 @@ def run_training(args, train_loader, test_loader, valid_loader, input_dim):
                                 weight_decay=args.weight_decay,
                                 lr_schedule=lr_schedule)
     opt_state = optimizer.init(params)
-    if mesh is not None:
+    if mesh is not None and gspmd:
+        from neuralsvd_tpu.parallel.sharding import make_gspmd_cdk_step
+
+        raw = make_cdk_train_step(method, optimizer, args.grad_clip,
+                                  jit=False)
+        step_fn, params, opt_state = make_gspmd_cdk_step(
+            raw, mesh, params, opt_state)
+    elif mesh is not None:
         from neuralsvd_tpu.parallel.sharding import make_shard_map_cdk_step
 
         step_fn = make_shard_map_cdk_step(method, optimizer, mesh,
@@ -253,11 +274,11 @@ def run_training(args, train_loader, test_loader, valid_loader, input_dim):
         losses = []
         last_batch = None
         for x, y, cls in train_loader:
-            if mesh is not None and x.shape[0] % n_dev:
+            if mesh is not None and x.shape[0] % dp_size:
                 # dp shards need even division; drop the ragged tail of a
                 # short final batch (the real Sketchy loader always fills
                 # to batch_size — this only triggers on custom loaders)
-                m = (x.shape[0] // n_dev) * n_dev
+                m = (x.shape[0] // dp_size) * dp_size
                 if m == 0:
                     continue
                 x, y = x[:m], y[:m]

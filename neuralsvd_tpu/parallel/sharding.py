@@ -48,6 +48,53 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(mesh_devices, tuple(axes))
 
 
+def parse_mesh_spec(spec: str, n_avail: int):
+    """Parse a CLI mesh spec: 'dp' | 'dp=4' | 'dp=4,tp=2' -> (axes, shape).
+
+    One axis may omit its size and absorbs the remaining devices
+    ('dp,tp=2' on 8 devices -> dp=4).  Size-1 axes are dropped (a tp=1
+    'tensor' axis is no axis).  Raises on over-subscription, on more than
+    one unsized axis, and on unknown axis names (dp/tp only — the shipped
+    step shardings know those two; SURVEY §2.7).
+    """
+    axes, sizes = [], []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" in part:
+            name, n = part.split("=", 1)
+            n = int(n)
+        else:
+            name, n = part, -1
+        name = name.strip()
+        if name not in ("dp", "tp"):
+            raise ValueError(f"unknown mesh axis {name!r} (use dp/tp)")
+        if name in axes:
+            raise ValueError(f"duplicate mesh axis {name!r}")
+        axes.append(name)
+        sizes.append(n)
+    if not axes:
+        raise ValueError(f"empty mesh spec {spec!r}")
+    if sizes.count(-1) > 1:
+        raise ValueError(f"more than one unsized axis in {spec!r}")
+    fixed = int(np.prod([s for s in sizes if s > 0])) if any(
+        s > 0 for s in sizes) else 1
+    if -1 in sizes:
+        if n_avail % fixed:
+            raise ValueError(
+                f"{n_avail} devices not divisible by fixed axes ({fixed})")
+        sizes[sizes.index(-1)] = n_avail // fixed
+    total = int(np.prod(sizes))
+    if total > n_avail:
+        raise ValueError(f"mesh {spec!r} needs {total} devices, "
+                         f"only {n_avail} available")
+    keep = [(a, s) for a, s in zip(axes, sizes) if s > 1]
+    if not keep:  # all axes trivial: single-device '1x1 mesh'
+        keep = [(axes[0], 1)]
+    return tuple(a for a, _ in keep), tuple(s for _, s in keep)
+
+
 def mode_sharded_params(params, mesh: Mesh, tp_axis: str = "tp"):
     """Sharding pytree: ParallelMLP mode-stacked weights (L, h, d) sharded on
     the leading L axis over ``tp_axis``; everything else replicated.
@@ -79,7 +126,8 @@ def state_shardings(ts, mesh: Mesh, tp_axis: str = "tp"):
     return jax.tree.map(leaf_spec, ts)
 
 
-def make_sharded_train_step(step_fn, mesh: Mesh, ts, tp_axis: str = "tp"):
+def make_sharded_train_step(step_fn, mesh: Mesh, ts, tp_axis: str = "tp",
+                            extra_args: int = 0):
     """GSPMD path: jit ``step_fn(train_state, key)`` with real annotations.
 
     Mode-stacked (rank-3) leaves are placed tp-sharded, the rest replicated;
@@ -90,12 +138,16 @@ def make_sharded_train_step(step_fn, mesh: Mesh, ts, tp_axis: str = "tp"):
     contractions); for *explicit* per-device batches use
     :func:`make_shard_map_train_step`.
 
+    ``extra_args``: number of replicated trailing arguments after the key
+    (e.g. the scan-start offset of make_scanned_train_step).
+
     Returns (jitted_step, sharded_train_state).
     """
     shardings = state_shardings(ts, mesh, tp_axis)
     ts = jax.device_put(ts, shardings)
+    rep = NamedSharding(mesh, P())
     jitted = jax.jit(step_fn,
-                     in_shardings=(shardings, NamedSharding(mesh, P())),
+                     in_shardings=(shardings, rep) + (rep,) * extra_args,
                      out_shardings=(shardings, None))
     return jitted, ts
 
@@ -165,6 +217,76 @@ def make_shard_map_train_step(method, operator, optimizer, sampler,
     mapped = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                            out_specs=(P(), P()), check_vma=False)
     return jax.jit(mapped)
+
+
+def cdk_mode_shardings(params, mesh: Mesh, tp_axis: str = "tp"):
+    """Sharding pytree for two-tower CDK params: the FINAL layer of each
+    tower carries the mode axis L (its output dim) and shards over
+    ``tp_axis`` — w (d, L) -> P(None, tp), b (L,) -> P(tp); everything
+    else (hidden layers, heads) replicates and XLA propagates internal
+    layouts.  At the paper shape (L=512) this is the axis that matters
+    for memory/collectives (SURVEY §2.7).
+    """
+    rep = NamedSharding(mesh, P())
+
+    def shard_tower(tower):
+        out = jax.tree.map(lambda _: rep, tower)
+        last = {k: (NamedSharding(mesh, P(None, tp_axis)) if k == "w"
+                    else NamedSharding(mesh, P(tp_axis)) if k == "b"
+                    else rep)
+                for k in tower["layers"][-1]}
+        return {**out, "layers": out["layers"][:-1] + [last]}
+
+    return {k: (shard_tower(v) if isinstance(v, dict) and "layers" in v
+                else jax.tree.map(lambda _: rep, v))
+            for k, v in params.items()}
+
+
+def _shardings_like(tree, params, param_shardings, mesh: Mesh):
+    """Shard a params-mirroring tree (opt moments) by leaf-shape match.
+
+    Optimizer states replicate the param pytree per moment but under
+    different container types; the mode-sharded leaves are recovered by
+    their (unique at shipped shapes) array shapes.  Non-matching leaves
+    (step counts, scalars) replicate.
+    """
+    rep = NamedSharding(mesh, P())
+    by_shape = {}
+    for leaf, sh in zip(jax.tree.leaves(params),
+                        jax.tree.leaves(param_shardings)):
+        by_shape.setdefault(leaf.shape, sh)
+
+    def spec(leaf):
+        if hasattr(leaf, "shape"):
+            return by_shape.get(leaf.shape, rep)
+        return rep
+
+    return jax.tree.map(spec, tree)
+
+
+def make_gspmd_cdk_step(step_fn, mesh: Mesh, params, opt_state,
+                        tp_axis: str = "tp", dp_axis: str = "dp"):
+    """GSPMD dp x tp for the CDK path: jit the plain (unjitted) CDK step
+    with mode-axis tower shardings and dp-sharded pair batches.
+
+    ``step_fn(params, opt_state, method_state, x, y, skip_count)`` is the
+    raw step from cli.sketchy.make_cdk_train_step(jit=False); the method
+    must be built WITHOUT axis_name (global-array semantics — XLA inserts
+    the Gram collectives).  Returns (jitted_step, params, opt_state) with
+    the state device_put to its shardings.
+    """
+    pshard = cdk_mode_shardings(params, mesh, tp_axis)
+    oshard = _shardings_like(opt_state, params, pshard, mesh)
+    params = jax.device_put(params, pshard)
+    opt_state = jax.device_put(opt_state, oshard)
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P(dp_axis)) if dp_axis in mesh.axis_names \
+        else rep
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(pshard, oshard, None, dp, dp, rep),
+        out_shardings=(pshard, oshard, None, None, None, None))
+    return jitted, params, opt_state
 
 
 def make_shard_map_cdk_step(method, optimizer, mesh: Mesh,

@@ -227,7 +227,38 @@ def train_operator(
     # path remains for monitor=True (EWM needs per-step (9, L) stats) and
     # for block remainders.
     use_scan = not monitor and num_iters >= print_freq > 1
-    if mesh is not None:
+    gspmd = (mesh is not None and "tp" in mesh.axis_names
+             and mesh.shape["tp"] > 1)
+    if gspmd:
+        # dp x tp: GSPMD — jit the plain step with state shardings (mode
+        # axis of ParallelMLP weights on tp, batch rows on dp via the
+        # sharded sampler); XLA inserts the Gram collectives.  The method
+        # must be built WITHOUT axis_name (global-array semantics).
+        from neuralsvd_tpu.parallel.sharding import (
+            make_sharded_train_step,
+            shard_batch_sampler,
+        )
+
+        if getattr(method, "axis_name", None) is not None:
+            raise ValueError("GSPMD (tp) path needs method.axis_name=None — "
+                             "collectives are compiler-inserted, not "
+                             "explicit pmeans")
+        g_sampler = (shard_batch_sampler(sampler, mesh, dp_axis)
+                     if dp_axis in mesh.axis_names else sampler)
+        base = make_train_step(method, operator, optimizer, g_sampler,
+                               importance=importance_train,
+                               ema_decay=ema_decay, monitor=monitor,
+                               grad_clip=grad_clip)
+        step_fn, ts = make_sharded_train_step(base, mesh, ts)
+        scan_fn = None
+        if use_scan:
+            base_scan = make_scanned_train_step(
+                method, operator, optimizer, g_sampler,
+                importance=importance_train, ema_decay=ema_decay,
+                steps_per_call=print_freq, grad_clip=grad_clip)
+            scan_fn, ts = make_sharded_train_step(base_scan, mesh, ts,
+                                                  extra_args=1)
+    elif mesh is not None:
         from neuralsvd_tpu.parallel.sharding import make_shard_map_train_step
 
         step_fn = make_shard_map_train_step(

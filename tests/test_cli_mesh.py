@@ -32,6 +32,40 @@ def test_cli_pde_main_on_dp_mesh_matches_analytic(tmp_path):
     assert run_dirs, "stats.npz artifact missing"
 
 
+def test_cli_pde_dp_tp_mesh_matches_single_device(tmp_path):
+    """--mesh dp=4,tp=2 (GSPMD, VERDICT r2 item 6): the full CLI driver
+    with the mode axis tp-sharded and batch rows dp-sharded reproduces the
+    single-device run bit-for-bit-ish (same global batch + key stream;
+    only XLA reduction order differs)."""
+    from neuralsvd_tpu.cli.pde import main
+    from neuralsvd_tpu.utils.config import PDEConfig
+
+    def run(mesh, sub):
+        cfg = PDEConfig(
+            log_dir=str(tmp_path / sub), mesh=mesh, seed=1,
+            problem="sch", potential_type="harmonic_oscillator", ndim=1,
+            neigs=4, parallel=True, operator_shift=10.0, laplacian_eps=0.1,
+            lim=4.0, mlp_hidden_dims="16,16", nonlinearity="softplus",
+            apply_boundary=True, boundary_mode="dir_box_sqrt",
+            sampling_mode="gaussian", sampling_scale=1.0,
+            batch_size=64, num_iters=400, print_freq=200, eval_freq=400,
+            optimizer="adam", lr=1e-3)
+        ts, all_eigvals, _ = main(cfg)
+        return ts, all_eigvals
+
+    ts_single, ev_single = run("", "single")
+    ts_mesh, ev_mesh = run("dp=4,tp=2", "dptp")
+    # tp really sharded the mode axis
+    w0 = ts_mesh.params["base"]["ws"][0]
+    assert "tp" in str(w0.sharding), f"mode axis not tp-sharded: {w0.sharding}"
+    for a, b in zip(jax.tree.leaves(ts_single.params),
+                    jax.tree.leaves(ts_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ev_single[-1]),
+                               np.asarray(ev_mesh[-1]), rtol=1e-3)
+
+
 def test_cli_sketchy_dp_mesh_matches_single_device(tmp_path):
     """run_training with --mesh dp=8 reproduces the single-device params
     (same loader seeds -> same batches; psum'd grads == global grads)."""
@@ -53,5 +87,11 @@ def test_cli_sketchy_dp_mesh_matches_single_device(tmp_path):
     p_single = run("", "single")
     p_dp = run("dp=8", "dp")
     for a, b in zip(jax.tree.leaves(p_single), jax.tree.leaves(p_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    # GSPMD dp x tp (VERDICT r2 item 6): mode axis of the tower output
+    # layers tp-sharded, same math as single device
+    p_dptp = run("dp=4,tp=2", "dptp")
+    for a, b in zip(jax.tree.leaves(p_single), jax.tree.leaves(p_dptp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
