@@ -85,6 +85,47 @@ def load_pretrained(path: str, params_template: Any,
                         params_template, found)
 
 
+def save_resumable(path: str, ts: Any, chunk: int):
+    """Save a mid-run resumable snapshot {TrainState, chunk index} at
+    ``path`` (an orbax directory; atomic via orbax's tmp+rename).
+
+    One checkpoint code path for harnesses and CLIs alike (VERDICT r2
+    item 8 — the NS_CKPT pickle is retired).  If ``path`` exists as a
+    legacy pickle *file*, it is replaced by the orbax directory.
+    """
+    path = os.path.abspath(path)
+    if os.path.isfile(path):  # legacy pickle from an older run
+        os.unlink(path)
+    host_ts = jax.device_get(ts)
+    save_checkpoint(path, {"ts": host_ts._asdict(), "chunk": chunk})
+
+
+def load_resumable(path: str, template_ts: Any) -> Optional[tuple]:
+    """Restore (TrainState, chunk) saved by :func:`save_resumable`.
+
+    Returns None when ``path`` does not exist.  Legacy pickle files
+    (the round-2 NS_CKPT format: {"ts": TrainState, "chunk": int}) are
+    still readable so committed round-2 checkpoints stay diagnosable.
+    """
+    import jax.numpy as jnp
+
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        return None
+    if os.path.isfile(path):  # legacy pickle
+        import pickle
+
+        with open(path, "rb") as fh:
+            saved = pickle.load(fh)
+        ts = jax.tree.map(jnp.asarray, saved["ts"])
+        return ts, int(saved["chunk"])
+    restored = load_checkpoint(
+        path, target={"ts": template_ts._asdict(), "chunk": 0})
+    ts = type(template_ts)(**{
+        k: jax.tree.map(jnp.asarray, v) for k, v in restored["ts"].items()})
+    return ts, int(restored["chunk"])
+
+
 def latest_checkpoint(log_dir: str, prefix: str = "ckpt_") -> Optional[str]:
     """Find the highest-step checkpoint dir named ``{prefix}{step}``."""
     if not os.path.isdir(log_dir):

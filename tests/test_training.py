@@ -1,5 +1,7 @@
 """Training-layer tests: torch-RMSprop parity, EMA, samplers, and the full
 jitted train step through train_operator."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -304,3 +306,61 @@ def test_train_operator_scan_path_matches_per_step():
                     jax.tree.leaves(ts_step.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_resumable_checkpoint_roundtrip(tmp_path, rng):
+    """save_resumable/load_resumable (the unified harness checkpoint path,
+    VERDICT r2 item 8): orbax roundtrip restores the full TrainState with
+    exact values and structure, and the legacy round-2 pickle format is
+    still readable."""
+    import pickle
+
+    from neuralsvd_tpu.models import make_wavefunctions
+    from neuralsvd_tpu.training.checkpoint import (
+        load_resumable,
+        save_resumable,
+    )
+
+    init, apply = make_wavefunctions(
+        ndim=1, neigs=3, mlp_hidden_dims=[8, 8], nonlinearity="softplus",
+        parallel=True, apply_boundary=False)
+    opt = torch_rmsprop(1e-3)
+    method = NestedLoRA(apply, neigs=3, sequential=True)
+    ts = init_train_state(init(jax.random.key(0)), opt, method)
+    # make state non-trivial so restoration is observable
+    ts = ts._replace(
+        step=jnp.asarray(7, jnp.int32),
+        ema_params=jax.tree.map(lambda p: p + 1.0, ts.params))
+
+    path = str(tmp_path / "ckpt")
+    save_resumable(path, ts, chunk=42)
+    restored, chunk = load_resumable(path, init_train_state(
+        init(jax.random.key(1)), opt, method))
+    assert chunk == 42
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree.leaves(ts), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # opt_state structure survives (chained NamedTuples, not plain dicts)
+    assert type(restored.opt_state[0]).__name__ == type(
+        ts.opt_state[0]).__name__
+
+    # legacy pickle file (round-2 NS_CKPT format) still loads
+    legacy = str(tmp_path / "legacy.ckpt.pkl")
+    with open(legacy, "wb") as fh:
+        pickle.dump({"ts": jax.device_get(ts), "chunk": 5}, fh)
+    restored2, chunk2 = load_resumable(legacy, ts)
+    assert chunk2 == 5
+    for a, b in zip(jax.tree.leaves(ts), jax.tree.leaves(restored2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a re-save over the legacy file replaces it with the orbax dir
+    save_resumable(legacy, ts, chunk=6)
+    assert not os.path.isfile(legacy) and os.path.isdir(legacy)
+    _, chunk3 = load_resumable(legacy, ts)
+    assert chunk3 == 6
+
+
+def test_load_resumable_missing_returns_none(tmp_path):
+    from neuralsvd_tpu.training.checkpoint import load_resumable
+
+    assert load_resumable(str(tmp_path / "nope"), None) is None
