@@ -1,16 +1,25 @@
-"""Benchmark: hydrogen-2D NestedLoRA training throughput (north-star config).
+"""Benchmark: hydrogen-2D NestedLoRA training throughput — E4 recipe.
 
-Measures steps/sec of the fused jitted train step (sampling + batched FD
-Laplacian + NestedLoRA custom-VJP + RMSprop + EMA) on the default JAX
-device, for the BASELINE.json target workload (top-16 hydrogen, batch 512).
+Measures steps/sec of the fused jitted train step for THE CONFIG THAT
+PASSES THE NORTH-STAR ACCURACY GATE (BASELINE.md round-2 E4: per-mode
+ParallelMLP 128^3, gaussian-mixture sampling {0.5,2,6,16} with importance
+conjugation, hydrogenic envelope + radial features, exact fwd-over-fwd JVP
+Laplacian, sequential nesting, torch-parity RMSprop, EMA).  VERDICT r2
+item 3: the headline throughput and the headline accuracy must come from
+the same model.
 
 ``vs_baseline`` compares against a PyTorch re-implementation of the
-reference's training step run on this host's CPU (the reference's
-algorithmic structure: per-dimension Python-loop FD Laplacian, autograd
--Function-style loss), timed here for an honest same-host ratio.  The
-reference repo itself publishes no throughput numbers (BASELINE.md).
+reference's training step on this host's CPU with the SAME per-mode
+architecture and math: parallel (L, h, d) einsum towers (reference
+examples/models/mlp.py:167-221), the reference's exact-Laplacian autograd
+loop (per-mode gradient + divergence, examples/operator/pde/diff_ops.py:
+54-91), NestedLoRA custom-backward semantics, RMSprop.  The reference
+repo itself publishes no throughput numbers (BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The old shared-trunk FD-0.1 configuration (round-1/2 headline) is
+reported as a secondary field for continuity.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import time
@@ -25,11 +34,63 @@ NEIGS = 16
 BATCH = 512
 NDIM = 2
 HIDDEN = [128, 128, 128]
-FOURIER = 256
+FOURIER = 1024          # E4 recipe (validate_northstar.py)
+MIX_SCALES = (0.5, 2.0, 6.0, 16.0)
+ENVELOPES = tuple(1.0 / (n + 0.5) for n in range(4))  # kappa_n = Z/(n+1/2)
 TIMED_STEPS = 100
 
 
-def bench_jax():
+def _bench_scanned(step_fn, ts):
+    """Compile twice (cold-autotune guard), then best-of-3 timed chunks."""
+    key = jax.random.key(1)
+    warm = jax.jit(step_fn)
+    jax.block_until_ready(warm(ts, key)[1])
+    run = jax.jit(lambda ts, key: step_fn(ts, key))  # fresh cache entry
+    ts, metrics = run(ts, key)  # compile (good binary) + warmup chunk
+    jax.block_until_ready(metrics)
+    best = 0.0
+    for i in range(3):
+        t0 = time.perf_counter()
+        ts, metrics = run(ts, jax.random.key(2 + i))
+        jax.block_until_ready(metrics)
+        best = max(best, TIMED_STEPS / (time.perf_counter() - t0))
+    assert np.isfinite(float(metrics["loss"][-1]))
+    return best
+
+
+def bench_jax_e4():
+    """The gate-passing config (E4): ParallelMLP + mixture + exact JVP."""
+    from neuralsvd_tpu.data.samplers import get_sampler
+    from neuralsvd_tpu.methods.nestedlora import NestedLoRA
+    from neuralsvd_tpu.models import make_wavefunctions
+    from neuralsvd_tpu.operators.problems import get_problem
+    from neuralsvd_tpu.training.optimizers import torch_rmsprop
+    from neuralsvd_tpu.training.train_operator import make_scanned_train_step
+    from neuralsvd_tpu.training.train_state import init_train_state
+
+    init, apply = make_wavefunctions(
+        ndim=NDIM, neigs=NEIGS, mlp_hidden_dims=HIDDEN,
+        nonlinearity="softplus", parallel=True,
+        use_fourier_feature=True, fourier_mapping_size=FOURIER,
+        fourier_scale=0.1, fourier_append_radial=True,
+        fourier_append_envelopes=ENVELOPES, apply_boundary=False)
+    params = init(jax.random.key(0))
+    operator, _, _ = get_problem(
+        problem="sch", potential_type="hydrogen", ndim=NDIM, neigs=NEIGS,
+        laplacian_eps=-1.0, operator_scale=100.0)
+    sampler, importance = get_sampler("gaussian_mixture", BATCH, 1, NDIM,
+                                      MIX_SCALES)
+    method = NestedLoRA(apply, neigs=NEIGS, sequential=True)
+    optimizer = torch_rmsprop(1e-4, alpha=0.999)
+    step_fn = make_scanned_train_step(
+        method, operator, optimizer, sampler, importance=importance,
+        ema_decay=0.995, steps_per_call=TIMED_STEPS)
+    ts = init_train_state(params, optimizer, method)
+    return _bench_scanned(step_fn, ts)
+
+
+def bench_jax_shared_fd():
+    """Secondary row: the round-1/2 shared-trunk FD-0.1 config."""
     from neuralsvd_tpu.methods.nestedlora import NestedLoRA
     from neuralsvd_tpu.models import make_wavefunctions
     from neuralsvd_tpu.operators.problems import get_problem
@@ -40,7 +101,7 @@ def bench_jax():
     init, apply = make_wavefunctions(
         ndim=NDIM, neigs=NEIGS, mlp_hidden_dims=HIDDEN,
         nonlinearity="softplus", use_fourier_feature=True,
-        fourier_mapping_size=FOURIER, fourier_scale=0.1,
+        fourier_mapping_size=256, fourier_scale=0.1,
         apply_boundary=True, boundary_mode="dir_box_sqrt", lim=32.0)
     params = init(jax.random.key(0))
     operator, _, _ = get_problem(
@@ -52,36 +113,19 @@ def bench_jax():
     def sampler(key):
         return 16.0 * jax.random.normal(key, (BATCH, NDIM))
 
-    # device-resident multi-step (lax.scan) amortizes host dispatch — the
-    # per-step tunnel round-trip otherwise dominates at this model size
     step_fn = make_scanned_train_step(
         method, operator, optimizer, sampler, ema_decay=0.995,
         steps_per_call=TIMED_STEPS)
     ts = init_train_state(params, optimizer, method)
-    key = jax.random.key(1)
-    # Compile TWICE with distinct jit wrappers: on this host the first large
-    # compile of a session autotunes against a cold cache and can emit a
-    # 5-10x slower executable; an identical recompile picks up the warmed
-    # autotune results.  The throwaway first binary is discarded.
-    warm = jax.jit(step_fn)
-    jax.block_until_ready(warm(ts, key)[1])
-    run = jax.jit(lambda ts, key: step_fn(ts, key))  # fresh cache entry
-    ts, metrics = run(ts, key)  # compile (good binary) + warmup chunk
-    jax.block_until_ready(metrics)
-    # best of 3 chunks: the tunnel adds sporadic per-call latency spikes
-    best = 0.0
-    for i in range(3):
-        t0 = time.perf_counter()
-        ts, metrics = run(ts, jax.random.key(2 + i))
-        jax.block_until_ready(metrics)
-        best = max(best, TIMED_STEPS / (time.perf_counter() - t0))
-    assert np.isfinite(float(metrics["loss"][-1]))
-    return best
+    return _bench_scanned(step_fn, ts)
 
 
-def bench_torch_reference_proxy(max_seconds=60.0):
-    """Reference-style torch training step on host CPU: per-dim FD loop,
-    NestedLoRA loss with hand-written backward, RMSprop."""
+def bench_torch_reference_proxy_e4(max_seconds=240.0, max_steps=4):
+    """Reference-style torch step matched to the E4 config: per-mode
+    (L, h, d) einsum towers, mixture sampling with importance conjugation,
+    envelope/radial features, exact-Laplacian autograd loop (per-mode
+    gradient + divergence — diff_ops.py:54-91), NestedLoRA custom-backward
+    semantics, RMSprop.  Run on this host's CPU."""
     try:
         import torch
     except ImportError:
@@ -90,88 +134,104 @@ def bench_torch_reference_proxy(max_seconds=60.0):
 
     L, B, D = NEIGS, BATCH, NDIM
     fourier_B = 2 * np.pi * 0.1 * torch.randn(D, FOURIER)
+    feat_dim = 2 * FOURIER + 1 + len(ENVELOPES)
 
-    layers = []
-    dims = [2 * FOURIER] + HIDDEN + [L]
-    for i in range(len(dims) - 1):
-        layers.append(torch.nn.Linear(dims[i], dims[i + 1]))
-        if i < len(dims) - 2:
-            layers.append(torch.nn.Softplus())
-    net = torch.nn.Sequential(*layers)
-
-    lim = 32.0
+    dims = [feat_dim] + HIDDEN + [1]
+    ws = [torch.nn.Parameter(
+        np.sqrt(2.0 / dims[i]) * torch.randn(L, dims[i + 1], dims[i]))
+        for i in range(len(dims) - 1)]
+    bs = [torch.nn.Parameter(torch.zeros(L, dims[i + 1], 1))
+          for i in range(len(dims) - 1)]
 
     def model(x):
         proj = x @ fourier_B
-        feats = torch.cat([torch.sin(proj), torch.cos(proj)], dim=1)
-        out = net(feats)
-        xc = torch.clamp(x, -lim, lim)
-        mask = torch.ones(x.shape[0], 1)
-        for i in range(D):
-            mask = mask * torch.clamp(
-                (torch.sqrt(2 * lim ** 2 - xc[:, i:i + 1] ** 2) - lim) / lim,
-                min=0.0)
-        return out * mask
+        r = x.norm(dim=1, keepdim=True)
+        env = torch.cat([torch.exp(-k * r) for k in ENVELOPES], dim=1)
+        feats = torch.cat([torch.sin(proj), torch.cos(proj), r, env], dim=1)
+        h = torch.einsum("lhd,bd->lhb", ws[0], feats) + bs[0]
+        h = torch.nn.functional.softplus(h)
+        for i in range(1, len(ws)):
+            h = torch.einsum("lhp,lpb->lhb", ws[i], h) + bs[i]
+            if i < len(ws) - 1:
+                h = torch.nn.functional.softplus(h)
+        return h[:, 0, :].t()  # (B, L)
 
-    eps = 0.1
-    vmask = torch.tensor(np.cumsum(np.full(L, 1.0 / L)[::-1])[::-1].copy(),
-                         dtype=torch.float32)
-    mmask = torch.minimum(vmask[:, None], vmask[None, :])
+    scales = torch.tensor(MIX_SCALES)
 
-    opt = torch.optim.RMSprop(net.parameters(), lr=1e-4, alpha=0.999,
-                              eps=1e-10)
+    def sample():
+        comp = torch.randint(len(MIX_SCALES), (B,))
+        return torch.randn(B, D) * scales[comp][:, None]
+
+    def log_w(x):  # mixture density (importance conjugation)
+        r2 = (x ** 2).sum(1, keepdim=True)
+        comps = torch.exp(-r2 / (2 * scales[None, :] ** 2)) / (
+            2 * np.pi * scales[None, :] ** 2)
+        return torch.log(comps.mean(1, keepdim=True) + 1e-300)
+
+    vmask = torch.ones(L)
+    mmask = torch.triu(torch.ones(L, L))  # sequential nesting
+    params = ws + bs
+    opt = torch.optim.RMSprop(params, lr=1e-4, alpha=0.999, eps=1e-10)
 
     def train_step():
-        x = 16.0 * torch.randn(B, D)
-        fs = model(x)
-        lap = -2 * D * fs
-        for i in range(D):  # reference-style per-dimension probe loop
-            e = torch.zeros(1, D)
-            e[0, i] = eps
-            lap = lap + model(x + e) + model(x - e)
-        lap = lap / eps ** 2
+        x = sample()
+        sqrt_w = torch.exp(0.5 * log_w(x))
+        xg = x.clone().requires_grad_(True)
+        fs = model(xg)
+        # reference exact laplacian: per-mode gradient + divergence loop
+        laps = []
+        for l in range(L):
+            g = torch.autograd.grad(fs[:, l].sum(), xg, create_graph=True)[0]
+            div = 0.0
+            for i in range(D):
+                div = div + torch.autograd.grad(
+                    g[:, i].sum(), xg, create_graph=True)[0][:, i:i + 1]
+            laps.append(div)
+        lap = torch.cat(laps, dim=1)
         V = -(1.0 / x.norm(dim=1, p=2)).reshape(-1, 1)
-        Tf = (-(-lap + V * fs)) * 100.0
-        f1, f2 = torch.chunk(fs, 2)
+        Tf = (lap - V * fs) * 100.0  # -(H f), conjugated measure folded in
+        fs_v = fs
+        f1, f2 = torch.chunk(fs_v, 2)
         lam1 = (f1.T @ f1 / f1.shape[0]).detach()
         lam2 = (f2.T @ f2 / f2.shape[0]).detach()
-        # custom-gradient semantics via surrogate objective
         op_surrogate = -4.0 * torch.einsum(
-            "l,bl,bl->", vmask, fs, Tf.detach()) / fs.shape[0]
+            "l,bl,bl->", vmask, fs_v, Tf.detach()) / fs_v.shape[0]
         met_surrogate = (
             2.0 * torch.einsum("lm,lm,bl,bm->", mmask, lam2, f1, f1.detach())
             / f1.shape[0]
-            + 2.0 * torch.einsum("lm,lm,bl,bm->", mmask, lam1, f2, f2.detach())
-            / f2.shape[0])
+            + 2.0 * torch.einsum("lm,lm,bl,bm->", mmask, lam1, f2,
+                                 f2.detach()) / f2.shape[0])
         loss = op_surrogate + met_surrogate
         opt.zero_grad()
         loss.backward()
         opt.step()
+        del sqrt_w  # conjugation cost is in log_w above (parity with jax)
 
-    # warmup
-    train_step()
+    train_step()  # warmup
     n = 0
     t0 = time.perf_counter()
     while True:
         train_step()
         n += 1
         dt = time.perf_counter() - t0
-        if n >= 20 or dt > max_seconds:
+        if n >= max_steps or dt > max_seconds:
             break
     return n / dt
 
 
 if __name__ == "__main__":
-    value = bench_jax()
-    ref = bench_torch_reference_proxy()
+    value = bench_jax_e4()
+    shared = bench_jax_shared_fd()
+    ref = bench_torch_reference_proxy_e4()
     vs = (value / ref) if ref else None
     print(json.dumps({
-        "metric": "hydrogen2d_L16_bs512_train_steps_per_sec",
+        "metric": "hydrogen2d_L16_bs512_E4_parallelmlp_train_steps_per_sec",
         "value": round(value, 3),
         "unit": "steps/sec",
         "vs_baseline": round(vs, 3) if vs else None,
-        "baseline_basis": "reference-style torch training step (per-dim FD "
-                          "loop, hand-written-backward loss, RMSprop) on "
-                          "this host's CPU; the reference publishes no "
-                          "throughput numbers",
+        "secondary_sharedtrunk_fd_steps_per_sec": round(shared, 3),
+        "baseline_basis": "reference-style torch step on this host's CPU, "
+                          "SAME per-mode architecture and exact-Laplacian "
+                          "math as the gate-passing E4 recipe; the "
+                          "reference publishes no throughput numbers",
     }))

@@ -1,0 +1,144 @@
+"""Empirical cross-check: does the REFERENCE NestedLoRA objective collapse
+modes whose shifted eigenvalue is non-positive?  (VERDICT r2 item 4)
+
+BASELINE.md documents a deviation from the reference oscillator config:
+`scripts/exps/pde/oscillator.sh` uses operator shift +16, which makes the
+bottom shells of the top-55 non-positive, and this repo ships shift +24
+instead, arguing the reference's own config leaves those modes
+unlearnable.  Round 2 argued this analytically; this script *measures* it
+against the reference's own torch implementation
+(/root/reference/methods/nestedlora.py NestedLoRALossFunctionEVD — the
+custom forward/backward, imported from the read-only reference checkout,
+NOT re-implemented, so the verdict is about the reference itself).
+
+Setup: 1D harmonic oscillator H = -d²/dx² + x², eigvals E_n = 2n + 1.
+Operator T = shift − H (the reference's "neg" + shift convention,
+examples/operator/pde/utils.py).  L = 6 modes:
+
+  shift +8  → target spectrum  7, 5, 3, 1, −1, −3  (two modes ≤ 0)
+  shift +14 → target spectrum 13, 11, 9, 7, 5, 3   (all positive control)
+
+Same model/optimizer/budget for both.  If the +8 run converges its top-4
+and collapses (norm → 0, Rayleigh far from −1/−3) exactly the two
+non-positive modes while the +14 control converges all six, the
+documented deviation stands.
+
+Usage: python scripts/repro_reference_oscillator.py [iters]  (CPU, ~min)
+"""
+import json
+import os
+import sys
+
+import numpy as np
+import torch
+
+sys.path.insert(0, "/root/reference")  # read-only upstream checkout
+try:
+    from methods.nestedlora import (  # noqa: E402
+        NestedLoRALossFunctionEVD,
+        get_sequential_nesting_masks,
+    )
+except ImportError as e:  # reference checkout not present
+    print(json.dumps({"skipped": f"reference import failed: {e}"}))
+    sys.exit(0)
+
+L = 6
+LIM = 6.0  # uniform sampling box: covers the first ~8 oscillator states
+HIDDEN = 64
+BATCH = 512
+LR = 1e-4
+E = 2 * np.arange(L) + 1  # 1, 3, 5, 7, 9, 11
+
+
+class MLP(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.net = torch.nn.Sequential(
+            torch.nn.Linear(1, HIDDEN), torch.nn.Softplus(),
+            torch.nn.Linear(HIDDEN, HIDDEN), torch.nn.Softplus(),
+            torch.nn.Linear(HIDDEN, L))
+
+    def forward(self, x):
+        # hard Dirichlet box mask (reference boundary.py dir_box_sqrt)
+        mask = ((torch.sqrt(2 * LIM**2 - x**2) - LIM) / LIM).clamp(min=0)
+        return self.net(x) * mask
+
+
+def apply_T(model, x, shift):
+    """T f = (shift − H) f with exact autograd Laplacian."""
+    x = x.requires_grad_(True)
+    f = model(x)
+    lap = []
+    for l in range(L):
+        g = torch.autograd.grad(f[:, l].sum(), x, create_graph=True)[0]
+        h = torch.autograd.grad(g.sum(), x, create_graph=True)[0]
+        lap.append(h)
+    lap = torch.cat(lap, dim=1)  # (B, L)
+    Hf = -lap + (x**2) * f
+    return f, shift * f - Hf
+
+
+def run(shift, iters, seed=0):
+    torch.manual_seed(seed)
+    model = MLP()
+    opt = torch.optim.RMSprop(model.parameters(), lr=LR, alpha=0.999,
+                              eps=1e-10)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=iters)
+    vmask, mmask = get_sequential_nesting_masks(L)
+    for it in range(iters):
+        x = (2 * torch.rand(BATCH, 1) - 1) * LIM
+        f, Tf = apply_T(model, x, shift)
+        f1, f2 = torch.chunk(f, 2)
+        loss = NestedLoRALossFunctionEVD.apply(f, Tf, f1, f2, vmask, mmask)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sched.step()
+        if (it + 1) % 2000 == 0:
+            print(f"  shift {shift:+d} it {it + 1}: loss {loss.item():.4f}",
+                  flush=True)
+    # eval: Rayleigh + norms on a big batch (same uniform measure)
+    with torch.no_grad():
+        pass
+    x = (2 * torch.rand(16384, 1) - 1) * LIM
+    f, Tf = apply_T(model, x, shift)
+    f, Tf = f.detach(), Tf.detach()
+    cov = (f.T @ f / f.shape[0]).numpy()
+    quad = (f.T @ Tf / f.shape[0]).numpy()
+    norms = np.diag(cov) * (2 * LIM)  # uniform-measure -> Lebesgue norm
+    rayleigh = np.diag(quad) / np.diag(cov)
+    target = np.sort(shift - E)[::-1]
+    return {
+        "shift": shift,
+        "target": target.tolist(),
+        "rayleigh_sorted": np.sort(rayleigh)[::-1].round(4).tolist(),
+        "norms_sorted_by_rayleigh":
+            norms[np.argsort(rayleigh)[::-1]].round(5).tolist(),
+        "rel_err_sorted": (np.abs(np.sort(rayleigh)[::-1] - target)
+                           / np.abs(target)).round(4).tolist(),
+    }
+
+
+def main(iters=20000):
+    out = {}
+    for shift in (8, 14):
+        print(f"=== shift {shift:+d} (targets {np.sort(shift - E)[::-1]})",
+              flush=True)
+        res = run(shift, iters)
+        out[f"shift{shift}"] = res
+        print(json.dumps(res), flush=True)
+    # verdict: how many of the two non-positive modes did the reference
+    # objective learn at shift +8?
+    r8 = np.array(out["shift8"]["rel_err_sorted"])
+    r14 = np.array(out["shift14"]["rel_err_sorted"])
+    print(json.dumps({
+        "metric": "reference_nonpositive_shift_collapse",
+        "shift8_top4_max_rel_err": float(r8[:4].max()),
+        "shift8_nonpositive_max_rel_err": float(r8[4:].max()),
+        "shift14_all6_max_rel_err": float(r14.max()),
+        "iters": iters,
+    }))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20000)
