@@ -175,7 +175,9 @@ def main(cfg: PDEConfig):
         profile_dir=(os.path.join(log_dir, "profile") if cfg.profile
                      else None),
         profile_start=cfg.profile_start, profile_steps=cfg.profile_steps,
-        grad_clip=cfg.grad_clip, mesh=mesh)
+        grad_clip=cfg.grad_clip, mesh=mesh,
+        rescue_init_fn=(init if cfg.rescue else None),
+        rescue_until=cfg.rescue_until)
 
     np.savez(os.path.join(log_dir, "stats.npz"),
              all_eigvals=np.asarray(all_eigvals),

@@ -121,9 +121,11 @@ def compute_spectrum_evd(
     outputs["eigvals"] = eigvals = np.diag(quad) / np.diag(cov)  # Rayleigh
     outputs["norms"] = norms = np.diag(cov)  # NestedLoRA norm estimator
     if normalize:
-        sn = np.sqrt(norms)[:, None]
+        # floor: a zero-norm (dead) mode must yield zeros, not NaNs that
+        # poison downstream health checks (mode_health)
+        sn = np.sqrt(np.maximum(norms, 1e-300))[:, None]
         outputs["cov"] = cov / (sn @ sn.T)
-        outputs["eigfuncs"] = eigfuncs / np.sqrt(norms)[None, :]
+        outputs["eigfuncs"] = eigfuncs / sn.T
     if sort:
         idx = np.argsort(eigvals)[::-1]
         outputs["eigvals"] = outputs["eigvals"][idx]
@@ -201,12 +203,17 @@ def mode_health(cov, quad, corr_thresh: float = 0.5,
     """
     cov = np.asarray(cov, dtype=np.float64)
     quad = np.asarray(quad, dtype=np.float64)
-    norms = np.diag(cov).copy()
-    rayleigh = np.diag(quad) / np.maximum(norms, 1e-300)
+    raw_norms = np.diag(cov).copy()
+    # a zero/NaN norm must read as DEAD, not poison every comparison into
+    # False (NaN < x is False — the exact blindness this module exists to
+    # remove)
+    norms = np.nan_to_num(raw_norms, nan=0.0, posinf=0.0, neginf=0.0)
+    rayleigh = np.nan_to_num(np.diag(quad) / np.maximum(norms, 1e-300))
     denom = np.sqrt(np.maximum(np.outer(norms, norms), 1e-300))
-    corr = cov / denom
+    corr = np.nan_to_num(cov / denom)
     L = cov.shape[0]
-    dead = norms < dead_rel * np.median(norms)
+    dead = ((norms <= dead_rel * max(float(np.median(norms)), 0.0))
+            | ~np.isfinite(raw_norms))
     duplicate_of = np.full(L, -1, dtype=np.int64)
     kept: list = []
     for i in np.argsort(norms)[::-1]:

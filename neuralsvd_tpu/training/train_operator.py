@@ -192,8 +192,18 @@ def train_operator(
     grad_clip: float = 0.0,
     mesh=None,
     dp_axis: str = "dp",
+    rescue_init_fn: Optional[Callable] = None,
+    rescue_until: float = 0.7,
 ):
     """Host driver: runs the jitted step, periodic EMA eval + checkpointing.
+
+    Every eval logs a dead/duplicate-mode health report (mode_health —
+    collapse-aware eval, VERDICT r2).  With ``rescue_init_fn`` (the
+    model's param initializer) set, evals inside the first
+    ``rescue_until`` fraction of training additionally *repair* a
+    diagnosed collapse: spurious modes are exiled to tail slots and
+    re-initialized from a fresh draw (training/rescue.py — the hydrogen
+    L=36 countermeasure).
 
     ``mesh``: a jax.sharding.Mesh with a ``dp_axis`` axis enables explicit
     data-parallel training via shard_map (the method must be built with
@@ -295,6 +305,31 @@ def train_operator(
         all_eigvals.append(outputs["eigvals"])
         all_norms.append(outputs["norms"])
         log.info("it%d eigvals: %s", it_done, outputs["eigvals"])
+        # collapse-aware health report (and optional repair) — undo the
+        # normalize-step in-place cov rescaling first so norms are real
+        from neuralsvd_tpu.methods.spectrum import (
+            format_mode_health,
+            mode_health,
+        )
+
+        norms = np.asarray(outputs["norms"])
+        cov = np.asarray(outputs["cov"])
+        if normalize:
+            cov = cov * np.sqrt(np.outer(norms, norms))
+        health = mode_health(cov, np.asarray(outputs["quad"]))
+        report = format_mode_health(health)
+        if report:
+            log.warning("it%d mode health:\n%s", it_done, report)
+        if (rescue_init_fn is not None and not health["healthy"].all()
+                and it_done <= rescue_until * num_iters):
+            from neuralsvd_tpu.training.rescue import rescue_modes
+
+            ts, info = rescue_modes(
+                ts, rescue_init_fn,
+                jax.random.fold_in(jax.random.key(seed + 1), it_done),
+                cov, np.asarray(outputs["quad"]), method.neigs)
+            log.warning("it%d rescue: exiled + re-initialized %d modes",
+                        it_done, info["n_spurious"])
         if checkpoint_fn is not None:
             checkpoint_fn(ts, it_done, outputs)
         if spinx_refresh is not None:

@@ -107,6 +107,10 @@ class PDEConfig:
     # misc
     sort: bool = False
     post_align: bool = False
+    # dead/duplicate-mode rescue at eval points (training/rescue.py):
+    # exile spurious modes to tail slots and re-init them (L=36 fix)
+    rescue: bool = False
+    rescue_until: float = 0.7  # fraction of num_iters with rescue active
     # profiling (jax.profiler trace of a step window; SURVEY §5.1)
     profile: bool = False
     profile_start: int = 100

@@ -217,3 +217,62 @@ def test_rescue_plan_orders_healthy_by_rayleigh():
     perm, n_bad = rescue_plan(health)
     assert n_bad == 1
     np.testing.assert_array_equal(perm, [2, 3, 0, 1])
+
+
+def test_train_operator_rescue_wiring_e2e(caplog):
+    """e2e wiring: a mode initialized as a TINY copy of mode 0 (the L=36
+    collapse signature — near-zero amplitude parked on an occupied
+    direction, corr ~ 1) is diagnosed at the first eval, logged, exiled +
+    re-initialized by the in-driver rescue, and the run still converges
+    to the distinct oscillator modes.
+
+    (Notes from writing this test: an *exact-copy* trap is NOT permanent —
+    the sequential nesting masks give each mode a different objective, so
+    identical params receive different gradients and separate; and a
+    *tiny*-amplitude copy recovers within ~500 iters at this scale because
+    RMSprop normalizes per-parameter steps.  A ZERO output layer however
+    is a true fixed point: the loss cotangent w.r.t. mode outputs is
+    proportional to Tf and lam*f, both zero, so every layer of the dead
+    mode gets exactly zero gradient forever — rescue is the only way
+    out.)"""
+    import logging
+
+    from neuralsvd_tpu.data.samplers import get_sampler
+    from neuralsvd_tpu.methods.nestedlora import NestedLoRA
+    from neuralsvd_tpu.operators.problems import get_problem
+    from neuralsvd_tpu.training.optimizers import cosine_annealing
+    from neuralsvd_tpu.training.train_operator import train_operator
+
+    neigs, num_iters = 3, 12000
+    operator, gt, _ = get_problem(
+        problem="sch", potential_type="harmonic_oscillator", ndim=1,
+        neigs=neigs, laplacian_eps=0.1, operator_shift=10.0)
+    init, apply = make_wavefunctions(
+        ndim=1, neigs=neigs, mlp_hidden_dims=[32, 32],
+        nonlinearity="softplus", parallel=True, apply_boundary=True,
+        boundary_mode="dir_box_sqrt", lim=4.0)
+    params = init(jax.random.key(0))
+    # L=36-style collapse state: mode 1 amplitude exactly zero (permanent
+    # dead mode — see docstring)
+    ws = params["base"]["ws"]
+    params["base"]["ws"] = ws[:-1] + [ws[-1].at[1].set(0.0)]
+    bs = params["base"]["bs"]
+    params["base"]["bs"] = bs[:-1] + [bs[-1].at[1].set(0.0)]
+    sampler, importance = get_sampler("gaussian", 256, 1, 1, 1.0)
+    method = NestedLoRA(apply, neigs=neigs, sequential=True)
+    opt = torch_rmsprop(cosine_annealing(1e-3, num_iters), alpha=0.999)
+
+    with caplog.at_level(logging.WARNING,
+                         logger="neuralsvd_tpu.training.train_operator"):
+        ts, all_eigvals, _ = train_operator(
+            method, operator, sampler, opt, params,
+            num_iters=num_iters, importance_train=importance,
+            val_batches=lambda: [jnp.linspace(-4, 4, 512).reshape(-1, 1)],
+            ema_decay=0.995, eval_freq=3000, print_freq=2000, seed=3,
+            rescue_init_fn=init)
+    assert "DUPLICATE" in caplog.text or "DEAD" in caplog.text
+    assert "rescue: exiled" in caplog.text
+    ev = np.sort(np.asarray(all_eigvals[-1]))[::-1]
+    gt_top = np.array([9.0, 7.0, 5.0])  # -H + 10 shift, E_n = 2n+1
+    err = np.abs(ev - gt_top) / gt_top
+    assert err.max() < 0.05, f"rescued run failed to converge: {ev}"
