@@ -46,6 +46,11 @@ args=(
 
     --operator_scale 100
 
+    # dead/duplicate-mode rescue at eval points: at L=36 a near-zero
+    # -amplitude mode parked on an occupied direction is loss-free and
+    # stable (round-2 collapse, BASELINE.md); rescue exiles + re-inits
+    --rescue true
+
     --use_fourier_feature true
     --fourier_mapping_size 1024
     --fourier_scale 0.1

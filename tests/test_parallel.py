@@ -217,3 +217,26 @@ def test_shard_batch_sampler_pins_dp_rows():
         lambda key: jax.random.normal(key, (32, 3)), mesh)
     out = jax.jit(sampler)(jax.random.key(0))
     assert out.sharding.spec[0] == "dp", out.sharding
+
+
+def test_parse_mesh_spec_grammar():
+    from neuralsvd_tpu.parallel.sharding import parse_mesh_spec
+
+    assert parse_mesh_spec("dp", 8) == (("dp",), (8,))
+    assert parse_mesh_spec("dp=4", 8) == (("dp",), (4,))
+    assert parse_mesh_spec("dp=4,tp=2", 8) == (("dp", "tp"), (4, 2))
+    assert parse_mesh_spec("dp,tp=2", 8) == (("dp", "tp"), (4, 2))
+    assert parse_mesh_spec("tp=2", 8) == (("tp",), (2,))
+    # size-1 axes dropped; fully trivial spec degenerates to 1 device
+    assert parse_mesh_spec("dp=4,tp=1", 8) == (("dp",), (4,))
+    assert parse_mesh_spec("dp=1", 8) == (("dp",), (1,))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_mesh_spec("dp=16", 8)  # oversubscribed
+    with _pytest.raises(ValueError):
+        parse_mesh_spec("dp,tp", 8)  # two unsized axes
+    with _pytest.raises(ValueError):
+        parse_mesh_spec("pp=2", 8)  # unknown axis
+    with _pytest.raises(ValueError):
+        parse_mesh_spec("dp=3,tp", 8)  # 8 not divisible by 3
