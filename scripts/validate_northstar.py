@@ -293,9 +293,10 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         "n_spurious_modes": int((~health["healthy"]).sum()),
         "num_iters": num_iters,
         # throughput counts only the steps THIS process trained (a resumed
-        # run starts at start_chunk * CHUNK, not 0 — ADVICE r2)
+        # run starts at start_chunk * CHUNK, not 0 — ADVICE r2); 0.0 for
+        # eval-only invocations (ckpt resumed at/after num_iters)
         "train_steps_per_sec": round(
-            (num_iters - start_chunk * CHUNK) / train_time, 1),
+            max(num_iters - start_chunk * CHUNK, 0) / train_time, 1),
         "resumed_at_iter": start_chunk * CHUNK,
         "target": 1e-3,
         "config": {"mix": MIX_SCALES, "mix_weights": MIX_WEIGHTS,
