@@ -80,6 +80,34 @@ def make_exponential_mask(output_dim: int, init_scale=1000.0,
     return init, apply
 
 
+def scale_mode_amplitudes(params, mode_idx, factors):
+    """Multiply the output amplitude of selected ParallelMLP modes.
+
+    Scales the FINAL tower layer's weights/bias for the given mode slots,
+    so the wavefunction outputs scale linearly while earlier layers (and
+    shared feature maps) are untouched.  Used by the rescue path: a mode
+    re-initialized at init-scale norm (~1e0) among converged peers
+    (~1e5+) has its RMSprop second moment saturated by the giant
+    deflation gradients and cannot grow — matching amplitudes restores
+    the balanced race that from-scratch training has (BASELINE.md L=36).
+
+    ``mode_idx``: int array (K,); ``factors``: (K,) per-mode multipliers.
+    """
+    mode_idx = jnp.asarray(np.asarray(mode_idx))
+    factors = jnp.asarray(np.asarray(factors), jnp.float32)
+    base = dict(params["base"])
+    ws = list(base["ws"])
+    f_w = factors.reshape(-1, *([1] * (ws[-1].ndim - 1)))
+    ws[-1] = ws[-1].at[mode_idx].multiply(f_w)
+    base["ws"] = ws
+    if base.get("bs"):
+        bs = list(base["bs"])
+        f_b = factors.reshape(-1, *([1] * (bs[-1].ndim - 1)))
+        bs[-1] = bs[-1].at[mode_idx].multiply(f_b)
+        base["bs"] = bs
+    return {**params, "base": base}
+
+
 def make_wavefunctions(
     ndim: int,
     neigs: int,

@@ -101,12 +101,25 @@ def rescue_plan(health):
 
 def rescue_modes(ts: TrainState, init_fn: Callable, key, cov, quad,
                  neigs: int, corr_thresh: float = 0.5,
-                 dead_rel: float = 1e-3):
+                 dead_rel: float = 1e-3,
+                 measure_norms: Callable = None,
+                 scale_fn: Callable = None,
+                 amplitude_frac: float = 0.5):
     """Diagnose and repair a collapsed TrainState.
 
     Returns (new_ts, info).  info["n_spurious"] == 0 means no-op (the
     state object is returned unchanged).  ``init_fn(key)`` must be the
     model's param initializer (fresh tail draws come from it).
+
+    Amplitude matching (both hooks required): after splicing,
+    ``measure_norms(params) -> (L,)`` batch norms are taken and each
+    fresh tail mode is rescaled via
+    ``scale_fn(params, tail_idx, factors)`` so its norm lands at
+    ``amplitude_frac`` x the smallest healthy norm.  Without this, a
+    fresh init-scale mode (~1e0) among converged peers (~1e5) has its
+    RMSprop moments saturated by the deflation gradients and re-collapses
+    within the next window — observed as rescue *cycling* in the first
+    L=36 rescue run (log/r3/H36_rescue_800k.log @50k/@100k).
     """
     health = mode_health(cov, quad, corr_thresh=corr_thresh,
                          dead_rel=dead_rel)
@@ -119,8 +132,19 @@ def rescue_modes(ts: TrainState, init_fn: Callable, key, cov, quad,
     opt_state = tree_permute_modes(ts.opt_state, perm)
     fresh = init_fn(key)
     params = _tree_splice_tail(params, fresh, neigs, n_bad)
-    ema = _tree_splice_tail(ema, fresh, neigs, n_bad)
     opt_state = _tree_zero_tail(opt_state, neigs, n_bad)
+    tail_idx = np.arange(neigs - n_bad, neigs)
+    if measure_norms is not None and scale_fn is not None:
+        norms_now = np.asarray(measure_norms(params))
+        healthy_floor = float(norms_now[:neigs - n_bad].min())
+        fresh_norms = np.maximum(norms_now[tail_idx], 1e-30)
+        factors = np.sqrt(amplitude_frac * max(healthy_floor, 1e-30)
+                          / fresh_norms)
+        params = scale_fn(params, tail_idx, factors)
+        info["amplitude_factors"] = factors
+    # tail EMA := the (possibly rescaled) fresh params; healthy EMA kept
+    ema = _tree_splice_tail(ema, params, neigs, n_bad)
     info["perm"] = perm
+    info["tail_slots"] = tail_idx
     return TrainState(step=ts.step, params=params, opt_state=opt_state,
                       ema_params=ema, method_state=ts.method_state), info

@@ -324,10 +324,26 @@ def train_operator(
                 and it_done <= rescue_until * num_iters):
             from neuralsvd_tpu.training.rescue import rescue_modes
 
+            def measure_norms(params):
+                # batch norms on one val batch (relative measure only)
+                x = jnp.asarray(next(iter(val_batches())))
+                f = method.eval_apply(params, ts.method_state, x)
+                return np.asarray(jnp.mean(f * f, axis=0))
+
+            scale_fn = None
+            if (isinstance(ts.params, dict)
+                    and isinstance(ts.params.get("base"), dict)
+                    and "ws" in ts.params["base"]):  # ParallelMLP family
+                from neuralsvd_tpu.models.wavefunctions import (
+                    scale_mode_amplitudes,
+                )
+                scale_fn = scale_mode_amplitudes
             ts, info = rescue_modes(
                 ts, rescue_init_fn,
                 jax.random.fold_in(jax.random.key(seed + 1), it_done),
-                cov, np.asarray(outputs["quad"]), method.neigs)
+                cov, np.asarray(outputs["quad"]), method.neigs,
+                measure_norms=(measure_norms if scale_fn else None),
+                scale_fn=scale_fn)
             log.warning("it%d rescue: exiled + re-initialized %d modes",
                         it_done, info["n_spurious"])
         if checkpoint_fn is not None:

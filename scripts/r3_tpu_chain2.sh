@@ -7,9 +7,9 @@
 set -u
 cd "$(dirname "$0")/.."
 
-CHAIN_PID=$(cat /tmp/chain.pid)
+CHAIN_PID=$(cat /tmp/h36_money.pid)
 while kill -0 "$CHAIN_PID" 2>/dev/null; do sleep 60; done
-echo "[chain2] chain1 done at $(date)" >> log/r3/chain.log
+echo "[chain2] money run done at $(date)" >> log/r3/chain.log
 
 # --- 4: bf16 towers, L=16, 300k (compare vs E1: 2.75e-3 @ 243 steps/s) --
 NS_BF16=1 NS_CKPT=/root/repo/log/r3/H16_bf16.ckpt \

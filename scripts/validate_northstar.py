@@ -199,16 +199,25 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
 
     def maybe_rescue(ts, it_done):
         from neuralsvd_tpu.methods.spectrum import format_mode_health
+        from neuralsvd_tpu.models.wavefunctions import scale_mode_amplitudes
         from neuralsvd_tpu.training.rescue import rescue_modes
 
         cov, quad = accum_rounds(ts.params, RESCUE_ROUNDS,
                                  seed=11 + it_done)
+
+        def measure_norms(params):
+            c, _ = accum_rounds(params, 2, seed=13 + it_done)
+            return np.diag(c)
+
         ts, info = rescue_modes(
             ts, init, jax.random.fold_in(jax.random.key(7), it_done),
-            cov, quad, NEIGS)
+            cov, quad, NEIGS,
+            measure_norms=measure_norms, scale_fn=scale_mode_amplitudes)
         if info["n_spurious"]:
             print(f"[rescue @ {it_done}] exiled + re-initialized "
-                  f"{info['n_spurious']} modes:\n"
+                  f"{info['n_spurious']} modes "
+                  f"(amplitude factors "
+                  f"{np.round(info['amplitude_factors'], 3)}):\n"
                   f"{format_mode_health(info['health'])}", flush=True)
         else:
             print(f"[rescue @ {it_done}] all modes healthy", flush=True)

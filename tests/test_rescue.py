@@ -276,3 +276,37 @@ def test_train_operator_rescue_wiring_e2e(caplog):
     gt_top = np.array([9.0, 7.0, 5.0])  # -H + 10 shift, E_n = 2n+1
     err = np.abs(ev - gt_top) / gt_top
     assert err.max() < 0.05, f"rescued run failed to converge: {ev}"
+
+
+def test_rescue_amplitude_matching(wf):
+    """Re-initialized tail modes are rescaled so their batch norm lands at
+    amplitude_frac x the smallest healthy norm (rescue-cycling fix: an
+    init-scale mode among 1e5-norm peers cannot grow under RMSprop)."""
+    from neuralsvd_tpu.models.wavefunctions import scale_mode_amplitudes
+    from neuralsvd_tpu.training.rescue import rescue_modes
+
+    init, apply = wf
+    ts = _make_ts(init)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((256, 2)),
+                    jnp.float32)
+
+    def measure_norms(params):
+        f = apply(params, x)
+        return np.asarray(jnp.mean(f * f, axis=0))
+
+    rng = np.random.default_rng(6)
+    cov, quad = _synthetic_accumulators(
+        rng, [100.0, 100.0, 11.0, 4.0], dup_pairs=[(1, 0, 0.3)])
+    ts2, info = rescue_modes(ts, init, jax.random.key(4), cov, quad, L,
+                             measure_norms=measure_norms,
+                             scale_fn=scale_mode_amplitudes)
+    assert info["n_spurious"] == 1
+    norms_after = measure_norms(ts2.params)
+    healthy_floor = norms_after[:3].min()
+    # tail mode landed at 0.5 x the smallest healthy norm (default frac)
+    np.testing.assert_allclose(norms_after[3], 0.5 * healthy_floor,
+                               rtol=1e-4)
+    # ema tail mirrors the rescaled params tail
+    np.testing.assert_allclose(
+        np.asarray(ts2.ema_params["base"]["ws"][-1][3]),
+        np.asarray(ts2.params["base"]["ws"][-1][3]))
