@@ -99,12 +99,52 @@ def rescue_plan(health):
     return np.concatenate([good, bad]), len(bad)
 
 
+def clone_perturb_tail(params, neigs: int, src_idx, dst_idx, key,
+                       noise: float = 0.25):
+    """Write perturbed clones of healthy modes into the tail slots.
+
+    For every mode-stacked leaf (leading dim == ``neigs``), slot
+    ``dst_idx[k]`` becomes ``leaf[src_idx[k]] + noise * rms * eps``.
+    Cloning a converged SMALL-eigenvalue mode gives the fresh slot a
+    positive Rayleigh quotient from step one — a random re-init is
+    dominated by high-frequency content whose Rayleigh under -H is
+    *negative* (continuum), so the loss squeezes it to zero before it
+    can find the tiny-reward free directions (observed: re-inits shrink
+    1000x within 50k, log/r3/H36_rescue_800k.log).  Deflation against
+    the clone's own source then strips the duplicated component, leaving
+    smooth tangent-space noise concentrated near the adjacent (free)
+    shells.
+    """
+    src = jnp.asarray(np.asarray(src_idx))
+    dst = jnp.asarray(np.asarray(dst_idx))
+    counter = [0]
+
+    def f(leaf):
+        if not (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] == neigs):
+            return leaf
+        counter[0] += 1
+        k = jax.random.fold_in(key, counter[0])
+        s = leaf[src]
+        if not jnp.issubdtype(s.dtype, jnp.floating):
+            return leaf.at[dst].set(s)
+        rms = jnp.sqrt(jnp.mean(s * s, axis=tuple(range(1, s.ndim)),
+                                keepdims=True) + 1e-30)
+        eps = jax.random.normal(k, s.shape, s.dtype)
+        return leaf.at[dst].set(s + noise * rms * eps)
+
+    return jax.tree.map(f, params)
+
+
 def rescue_modes(ts: TrainState, init_fn: Callable, key, cov, quad,
                  neigs: int, corr_thresh: float = 0.5,
                  dead_rel: float = 1e-3,
                  measure_norms: Callable = None,
                  scale_fn: Callable = None,
-                 amplitude_frac: float = 0.5):
+                 amplitude_frac: float = 0.5,
+                 clone_healthy_tail: bool = False,
+                 clone_noise: float = 0.25,
+                 grace_slots=None):
     """Diagnose and repair a collapsed TrainState.
 
     Returns (new_ts, info).  info["n_spurious"] == 0 means no-op (the
@@ -123,6 +163,16 @@ def rescue_modes(ts: TrainState, init_fn: Callable, key, cov, quad,
     """
     health = mode_health(cov, quad, corr_thresh=corr_thresh,
                          dead_rel=dead_rel)
+    if grace_slots is not None and len(grace_slots):
+        # one-event grace: slots rescued at the PREVIOUS event are exempt
+        # from the duplicate criterion (a separating clone still shows
+        # corr > thresh with its source) but not from being dead
+        g = np.asarray(grace_slots, dtype=np.int64)
+        keep = (health["duplicate_of"][g] >= 0) & ~health["dead"][g]
+        health = dict(health)
+        health["duplicate_of"] = health["duplicate_of"].copy()
+        health["duplicate_of"][g[keep]] = -1
+        health["healthy"] = (health["duplicate_of"] < 0) & ~health["dead"]
     perm, n_bad = rescue_plan(health)
     info = {"health": health, "n_spurious": n_bad}
     if n_bad == 0:
@@ -130,16 +180,33 @@ def rescue_modes(ts: TrainState, init_fn: Callable, key, cov, quad,
     params = tree_permute_modes(ts.params, perm)
     ema = tree_permute_modes(ts.ema_params, perm)
     opt_state = tree_permute_modes(ts.opt_state, perm)
-    fresh = init_fn(key)
-    params = _tree_splice_tail(params, fresh, neigs, n_bad)
-    opt_state = _tree_zero_tail(opt_state, neigs, n_bad)
     tail_idx = np.arange(neigs - n_bad, neigs)
+    if clone_healthy_tail:
+        # clone the K smallest-eigenvalue healthy modes (spectrally
+        # adjacent to the free directions), cycled over the tail slots
+        n_src = min(max(n_bad, 2), neigs - n_bad, 4)
+        srcs = np.array([neigs - n_bad - 1 - (k % n_src)
+                         for k in range(n_bad)])
+        params = clone_perturb_tail(params, neigs, srcs, tail_idx, key,
+                                    noise=clone_noise)
+        info["clone_sources"] = srcs
+    else:
+        fresh = init_fn(key)
+        params = _tree_splice_tail(params, fresh, neigs, n_bad)
+    opt_state = _tree_zero_tail(opt_state, neigs, n_bad)
     if measure_norms is not None and scale_fn is not None:
         norms_now = np.asarray(measure_norms(params))
-        healthy_floor = float(norms_now[:neigs - n_bad].min())
+        if clone_healthy_tail:
+            # per-slot target: a fraction of the clone SOURCE's norm (the
+            # clone starts at ~source amplitude; a modest shrink softens
+            # the initial duplicate penalty on the source)
+            target = amplitude_frac * np.maximum(
+                norms_now[info["clone_sources"]], 1e-30)
+        else:
+            target = amplitude_frac * max(
+                float(norms_now[:neigs - n_bad].min()), 1e-30)
         fresh_norms = np.maximum(norms_now[tail_idx], 1e-30)
-        factors = np.sqrt(amplitude_frac * max(healthy_floor, 1e-30)
-                          / fresh_norms)
+        factors = np.sqrt(target / fresh_norms)
         params = scale_fn(params, tail_idx, factors)
         info["amplitude_factors"] = factors
     # tail EMA := the (possibly rescaled) fresh params; healthy EMA kept

@@ -111,6 +111,11 @@ RESCUE = os.environ.get("NS_RESCUE", "0") == "1"
 RESCUE_EVERY = int(os.environ.get("NS_RESCUE_EVERY", "50000"))
 RESCUE_END_FRAC = float(os.environ.get("NS_RESCUE_END", "0.7"))
 RESCUE_ROUNDS = int(os.environ.get("NS_RESCUE_ROUNDS", "8"))
+# clone-and-perturb re-init (default): random re-inits have negative
+# Rayleigh (continuum-dominated) and are squeezed to zero before finding
+# the tiny-reward free directions; clones of the smallest healthy modes
+# start positive and spectrally adjacent (training/rescue.py)
+RESCUE_CLONE = os.environ.get("NS_RESCUE_CLONE", "1") == "1"
 CKPT = os.environ.get("NS_CKPT", "")  # pickle path: save/resume TrainState
 # (the axon tunnel can wedge mid-run — observed once at L=36 after 500k
 # iters; with NS_CKPT a rerun resumes from the last saved chunk, schedule
@@ -197,7 +202,10 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
             cov, quad = cov + c, quad + q
         return np.asarray(cov), np.asarray(quad)
 
+    grace_slots = []
+
     def maybe_rescue(ts, it_done):
+        nonlocal grace_slots
         from neuralsvd_tpu.methods.spectrum import format_mode_health
         from neuralsvd_tpu.models.wavefunctions import scale_mode_amplitudes
         from neuralsvd_tpu.training.rescue import rescue_modes
@@ -212,14 +220,19 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         ts, info = rescue_modes(
             ts, init, jax.random.fold_in(jax.random.key(7), it_done),
             cov, quad, NEIGS,
-            measure_norms=measure_norms, scale_fn=scale_mode_amplitudes)
+            measure_norms=measure_norms, scale_fn=scale_mode_amplitudes,
+            clone_healthy_tail=RESCUE_CLONE, grace_slots=grace_slots)
         if info["n_spurious"]:
+            grace_slots = list(info["tail_slots"])
+            src = (f" cloned from {info['clone_sources']}"
+                   if "clone_sources" in info else "")
             print(f"[rescue @ {it_done}] exiled + re-initialized "
-                  f"{info['n_spurious']} modes "
+                  f"{info['n_spurious']} modes{src} "
                   f"(amplitude factors "
                   f"{np.round(info['amplitude_factors'], 3)}):\n"
                   f"{format_mode_health(info['health'])}", flush=True)
         else:
+            grace_slots = []
             print(f"[rescue @ {it_done}] all modes healthy", flush=True)
         return ts
 

@@ -310,3 +310,40 @@ def test_rescue_amplitude_matching(wf):
     np.testing.assert_allclose(
         np.asarray(ts2.ema_params["base"]["ws"][-1][3]),
         np.asarray(ts2.params["base"]["ws"][-1][3]))
+
+
+def test_clone_perturb_rescue_and_grace(wf):
+    """Clone-and-perturb re-init: tail slots become noisy copies of the
+    smallest healthy modes (positive Rayleigh from step one); slots under
+    grace are exempt from the duplicate criterion but not from death."""
+    from neuralsvd_tpu.training.rescue import rescue_modes
+
+    init, apply = wf
+    ts = _make_ts(init)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((512, 2)),
+                    jnp.float32)
+    rng = np.random.default_rng(8)
+    cov, quad = _synthetic_accumulators(
+        rng, [100.0, 100.0, 11.0, 4.0], dup_pairs=[(1, 0, 0.4)])
+    ts2, info = rescue_modes(ts, init, jax.random.key(5), cov, quad, L,
+                             clone_healthy_tail=True)
+    assert info["n_spurious"] == 1
+    # healthy order after perm: [0 (100), 2 (11), 3 (4)]; source = slot 2
+    # (smallest healthy) which holds ORIGINAL mode 3
+    np.testing.assert_array_equal(info["clone_sources"], [2])
+    out = np.asarray(apply(ts2.params, x))
+    c = np.corrcoef(out[:, 3], out[:, 2])[0, 1]
+    assert abs(c) > 0.5, f"clone not correlated with source: {c}"
+    # perturbed, not identical
+    assert np.abs(out[:, 3] - out[:, 2]).max() > 1e-6
+
+    # grace: same diagnosis, but slot 1 (the duplicate) is under grace
+    ts3, info3 = rescue_modes(ts, init, jax.random.key(5), cov, quad, L,
+                              clone_healthy_tail=True, grace_slots=[1])
+    assert info3["n_spurious"] == 0
+    # a DEAD slot under grace is still exiled
+    cov_d, quad_d = _synthetic_accumulators(
+        rng, [100.0, 11.0, 4.0, 2.0], dead=[3])
+    ts4, info4 = rescue_modes(ts, init, jax.random.key(5), cov_d, quad_d,
+                              L, clone_healthy_tail=True, grace_slots=[3])
+    assert info4["n_spurious"] == 1
