@@ -343,7 +343,11 @@ def train_operator(
                 jax.random.fold_in(jax.random.key(seed + 1), it_done),
                 cov, np.asarray(outputs["quad"]), method.neigs,
                 measure_norms=(measure_norms if scale_fn else None),
-                scale_fn=scale_fn)
+                scale_fn=scale_fn,
+                clone_healthy_tail=(scale_fn is not None),
+                grace_slots=rescue_grace)
+            rescue_grace[:] = (list(info["tail_slots"])
+                               if info["n_spurious"] else [])
             log.warning("it%d rescue: exiled + re-initialized %d modes",
                         it_done, info["n_spurious"])
         if checkpoint_fn is not None:
@@ -352,6 +356,7 @@ def train_operator(
             ts = spinx_refresh(ts, last_key)
 
     all_eigvals, all_norms = [], []
+    rescue_grace: list = []
     total_skips = 0
     start = time.time()
     it = 0
