@@ -71,6 +71,19 @@ def _tree_splice_tail(old_tree, fresh_tree, neigs: int, n_tail: int):
     return jax.tree.map(_splice, old_tree, fresh_tree)
 
 
+def _tree_clone_slots(tree, neigs: int, src_idx, dst_idx):
+    """Copy mode slices src_idx -> dst_idx on every mode-stacked leaf."""
+    src = jnp.asarray(np.asarray(src_idx))
+    dst = jnp.asarray(np.asarray(dst_idx))
+
+    def _copy(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == neigs:
+            return leaf.at[dst].set(leaf[src])
+        return leaf
+
+    return jax.tree.map(_copy, tree)
+
+
 def _tree_zero_tail(tree, neigs: int, n_tail: int):
     def _zero(leaf):
         if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == neigs:
@@ -189,11 +202,16 @@ def rescue_modes(ts: TrainState, init_fn: Callable, key, cov, quad,
                          for k in range(n_bad)])
         params = clone_perturb_tail(params, neigs, srcs, tail_idx, key,
                                     noise=clone_noise)
+        # clones inherit the SOURCE's optimizer moments: zeroed RMSprop
+        # nu makes the first updates ~sign-steps (1/sqrt((1-a)) regime),
+        # injecting high-frequency drift into a late-LR run; the source's
+        # per-param scales are the right starting point for a nearby mode
+        opt_state = _tree_clone_slots(opt_state, neigs, srcs, tail_idx)
         info["clone_sources"] = srcs
     else:
         fresh = init_fn(key)
         params = _tree_splice_tail(params, fresh, neigs, n_bad)
-    opt_state = _tree_zero_tail(opt_state, neigs, n_bad)
+        opt_state = _tree_zero_tail(opt_state, neigs, n_bad)
     if measure_norms is not None and scale_fn is not None:
         norms_now = np.asarray(measure_norms(params))
         if clone_healthy_tail:

@@ -336,6 +336,10 @@ def test_clone_perturb_rescue_and_grace(wf):
     assert abs(c) > 0.5, f"clone not correlated with source: {c}"
     # perturbed, not identical
     assert np.abs(out[:, 3] - out[:, 2]).max() > 1e-6
+    # clone inherits the source's optimizer moments (not zeroed)
+    nu = ts2.opt_state[0].nu["base"]["ws"][0]
+    np.testing.assert_array_equal(np.asarray(nu[3]), np.asarray(nu[2]))
+    assert float(jnp.abs(nu[3]).max()) > 0.0
 
     # grace: same diagnosis, but slot 1 (the duplicate) is under grace
     ts3, info3 = rescue_modes(ts, init, jax.random.key(5), cov, quad, L,
