@@ -96,7 +96,16 @@ def plot_1d_eigfuncs(x, eigfuncs, log_dir: str, tag: str = "",
 
 
 def plot_2d_eigfuncs(eigfuncs, log_dir: str, tag: str = "",
-                     max_modes: int = 36):
+                     max_modes: int = 36, titles=None, symmetric=False,
+                     suptitle: str = ""):
+    """Grid of 2D eigenfunction heatmaps (reference figure: figs/hydrogen_all.png,
+    README.md:45).
+
+    Eigenfunctions are signed fields: with ``symmetric=True`` each panel's
+    color scale is centered on zero (diverging RdBu, neutral midpoint), so
+    sign structure reads correctly across panels.  ``titles`` puts a short
+    per-panel label (e.g. learned vs analytic eigenvalue) in plain text ink.
+    """
     n = eigfuncs.shape[0]
     side = int(round(np.sqrt(n)))
     L = min(eigfuncs.shape[1], max_modes)
@@ -106,15 +115,23 @@ def plot_2d_eigfuncs(eigfuncs, log_dir: str, tag: str = "",
     axes = np.atleast_1d(axes).ravel()
     for l in range(L):
         img = eigfuncs[: side * side, l].reshape(side, side)
-        axes[l].imshow(img, cmap="RdBu")
+        vmax = float(np.abs(img).max()) or 1.0
+        kw = {"vmin": -vmax, "vmax": vmax} if symmetric else {}
+        axes[l].imshow(img, cmap="RdBu", **kw)
         axes[l].set_xticks([])
         axes[l].set_yticks([])
+        if titles is not None:
+            axes[l].set_title(str(titles[l]), fontsize=7, color="0.2")
     for ax in axes[L:]:
         ax.axis("off")
+    if suptitle:
+        fig.suptitle(suptitle, fontsize=10, color="0.2")
     fig.tight_layout()
     os.makedirs(log_dir, exist_ok=True)
-    fig.savefig(os.path.join(log_dir, f"eigfuncs2d_{tag}.png"))
+    path = os.path.join(log_dir, f"eigfuncs2d_{tag}.png")
+    fig.savefig(path, dpi=150)
     plt.close(fig)
+    return path
 
 
 def plot_hist_ratios(rs_joint, rs_indep, log_dir: str, tag: str = "",

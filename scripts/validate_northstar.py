@@ -145,7 +145,13 @@ def make_sampling(batch):
     return get_sampler("gaussian", batch, 1, NDIM, SCALE)
 
 
-def main(num_iters=300_000, lap_eps=LAP_EPS):
+def build_model(lap_eps=LAP_EPS):
+    """Problem + wavefunction model under the NS_* env configuration.
+
+    Shared by main() and the eval-only tools (scripts/plot_hydrogen_modes.py)
+    so a checkpoint is always reloaded into the exact architecture that
+    trained it.  Returns (operator, gt, sampler, importance, init, apply).
+    """
     operator, gt, _ = get_problem(
         problem="sch", potential_type="hydrogen", ndim=NDIM, neigs=NEIGS,
         laplacian_eps=lap_eps, operator_scale=100.0)
@@ -167,6 +173,11 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         raise SystemExit("NS_BF16=1 requires the exact Laplacian "
                          "(lap_eps <= 0): FD stencils are numerically "
                          "fatal in bf16")
+    return operator, gt, sampler, importance, init, apply
+
+
+def main(num_iters=300_000, lap_eps=LAP_EPS):
+    operator, gt, sampler, importance, init, apply = build_model(lap_eps)
     params = init(jax.random.key(0))
     method = NestedLoRA(apply, neigs=NEIGS, sequential=SEQUENTIAL)
     opt = torch_rmsprop(cosine_annealing(1e-4, num_iters), alpha=0.999)

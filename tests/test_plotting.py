@@ -31,8 +31,13 @@ def test_eigfunc_plots(tmp_path, rng):
     plot_1d_eigfuncs(x, fs, str(tmp_path), tag="a")
     grid = rng.normal(size=(64 * 64, 3)).astype(np.float32)
     plot_2d_eigfuncs(grid, str(tmp_path), tag="b")
+    # signed-field mode: symmetric per-panel scale + λ titles (figure tool path)
+    path = plot_2d_eigfuncs(grid, str(tmp_path), tag="c", symmetric=True,
+                            titles=[f"λ={v}" for v in (3, 2, 1)],
+                            suptitle="smoke")
+    assert os.path.exists(path)
     pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
-    assert len(pngs) >= 2
+    assert len(pngs) >= 3
 
 
 def test_ratio_histogram(tmp_path, rng):
