@@ -43,7 +43,7 @@ from neuralsvd_tpu.utils.plotting import plot_2d_eigfuncs  # noqa: E402
 
 
 def main(ckpt, out_dir, lap_eps=-1.0, lim=None, grid=192, eval_rounds=16):
-    assert ns.NDIM == 2, "figure tool is for the 2D hydrogen flagship"
+    assert ns.NDIM in (2, 3), "figure tool renders 2D fields (3D: z=0 slice)"
     operator, gt, _, importance, init, apply = ns.build_model(lap_eps)
     params = init(jax.random.key(0))
     method = NestedLoRA(apply, neigs=ns.NEIGS, sequential=ns.SEQUENTIAL)
@@ -76,13 +76,18 @@ def main(ckpt, out_dir, lap_eps=-1.0, lim=None, grid=192, eval_rounds=16):
 
     # physical wavefunctions on a uniform grid: psi = sqrt(w) * f
     if lim is None:
-        # hydrogenic extent: the outermost 2D shell n peaks near
-        # r ~ (n+1/2)^2 Bohr-like radii; 1.7x frames the full node structure
+        # hydrogenic extent: the outermost shell n peaks near
+        # r ~ (n+1/2)^2 (2D) / n^2 (3D) Bohr-like radii; 1.7x frames the
+        # full node structure
         n_top = ns._N_SHELLS - 1
-        lim = 1.7 * (n_top + 0.5) ** 2
+        lim = 1.7 * ((n_top + 0.5) ** 2 if ns.NDIM == 2
+                     else max(ns._N_SHELLS, 1) ** 2)
     xs = np.linspace(-lim, lim, grid, dtype=np.float32)
     X, Y = np.meshgrid(xs, xs)
-    pts = jnp.asarray(np.stack([X.ravel(), Y.ravel()], axis=1))
+    cols = [X.ravel(), Y.ravel()]
+    if ns.NDIM == 3:  # z=0 equatorial slice
+        cols.append(np.zeros_like(cols[0]))
+    pts = jnp.asarray(np.stack(cols, axis=1))
     f_eval = jax.jit(lambda p, x: apply(p, x) * jnp.sqrt(importance(x)))
     psi = np.asarray(f_eval(ts.ema_params, pts))[:, order]
     psi = psi / np.maximum(np.abs(psi).max(axis=0, keepdims=True), 1e-30)
@@ -95,8 +100,9 @@ def main(ckpt, out_dir, lap_eps=-1.0, lim=None, grid=192, eval_rounds=16):
         psi, out_dir, tag=tag, max_modes=ns.NEIGS, titles=titles,
         symmetric=True,
         suptitle=(f"hydrogen {ns.NDIM}D top-{ns.NEIGS} learned "
-                  f"eigenfunctions ψ=√w·f, box ±{lim:.0f} "
-                  f"(λ learned vs analytic)"))
+                  f"eigenfunctions ψ=√w·f"
+                  + (", z=0 slice" if ns.NDIM == 3 else "")
+                  + f", box ±{lim:.0f} (λ learned vs analytic)"))
     print(f"wrote {path}")
 
 
