@@ -89,7 +89,8 @@ def main(cfg: PDEConfig):
         apply_boundary=cfg.apply_boundary, boundary_mode=cfg.boundary_mode,
         lim=cfg.lim, apply_exp_mask=cfg.apply_exp_mask,
         exp_mask_init_scale=cfg.exp_mask_init_scale,
-        hard_mul_const=cfg.hard_mul_const)
+        hard_mul_const=cfg.hard_mul_const,
+        matmul_precision=cfg.matmul_precision or None)
     params = init(jax.random.key(cfg.seed))
 
     scale = cfg.sampling_scale

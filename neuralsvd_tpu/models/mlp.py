@@ -76,14 +76,17 @@ def make_mlp(
     bias: bool = True,
     weight_normalization: bool = False,
     feature_map: Optional[Tuple[Callable, Callable]] = None,
+    matmul_precision=None,
 ):
     """Plain MLP ``sizes[0] -> ... -> sizes[-1]``, no final activation.
 
     ``feature_map`` is an optional ``(init, apply)`` pair prepended to the
-    network (e.g. Fourier features).  Reference: examples/models/mlp.py:129-164.
+    network (e.g. Fourier features).  ``matmul_precision``: see
+    make_parallel_mlp.  Reference: examples/models/mlp.py:129-164.
     """
     sizes = list(sizes)
     act = get_activation(nonlinearity)
+    prec = resolve_matmul_precision(matmul_precision)
     n_layers = len(sizes) - 1
     fm_init, fm_apply = feature_map if feature_map is not None else (None, None)
 
@@ -110,7 +113,7 @@ def make_mlp(
             w = layer["w"]
             if weight_normalization:
                 w = w * (layer["g"] / (jnp.linalg.norm(w, axis=0) + 1e-12))
-            h = h @ w
+            h = jnp.matmul(h, w, precision=prec)
             if bias:
                 h = h + layer["b"]
             if i < n_layers - 1:
@@ -124,6 +127,20 @@ def make_mlp(
 # ParallelMLP: L independent MLPs as batched einsums
 # ---------------------------------------------------------------------------
 
+def resolve_matmul_precision(precision):
+    """None | 'default' | 'high' | 'highest' | lax.Precision -> precision arg.
+
+    TPU tiers: DEFAULT = 1-pass bf16, HIGH = 3-pass bf16 (~2x slower than
+    DEFAULT, ~f32-grade error 2^-21), HIGHEST = 6-pass bf16 (f32 emulation).
+    ``None`` inherits the ambient jax_default_matmul_precision.
+    """
+    if precision is None or isinstance(precision, jax.lax.Precision):
+        return precision
+    return jax.lax.Precision(
+        {"default": "fastest", "high": "high", "highest": "highest"}
+        .get(precision, precision))
+
+
 def make_parallel_mlp(
     input_dim: int,
     mlp_hidden_dims: Sequence[int],
@@ -135,6 +152,7 @@ def make_parallel_mlp(
     feature_map: Optional[Tuple[Callable, Callable]] = None,
     debug: bool = False,
     compute_dtype=None,
+    matmul_precision=None,
 ):
     """L independent MLPs evaluated as one batched einsum chain.
 
@@ -151,8 +169,16 @@ def make_parallel_mlp(
     stay float32 — the CDK bf16-tower recipe (models/two_tower.py
     compute_dtype, 3.1x e2e on v5e) applied to the eigenfunction towers.
     Downstream Gram/Cholesky stays f32 (ops/gram.py pins HIGHEST).
+
+    ``matmul_precision`` ('default'/'high'/'highest' or lax.Precision):
+    per-einsum MXU pass count for the tower matmuls only, overriding the
+    ambient jax_default_matmul_precision.  'high' (3-pass bf16, error
+    ~2^-21) keeps f32 *storage* — a finer knob than ``compute_dtype``
+    =bf16, whose input rounding (2^-8) measurably degrades exact-JVP
+    eigvals (BASELINE.md E5).
     """
     act = get_activation(nonlinearity)
+    prec = resolve_matmul_precision(matmul_precision)
     dims = list(mlp_hidden_dims) + [output_dim]
     fm_init, fm_apply = feature_map if feature_map is not None else (None, None)
 
@@ -193,10 +219,12 @@ def make_parallel_mlp(
             bs = [b.astype(compute_dtype) if hasattr(b, "astype") else b
                   for b in bs]
         norm0 = _norm(ws[0])
-        h = jnp.einsum("lhd,bd->lhb", ws[0] / norm0, x) + bs[0]
+        h = jnp.einsum("lhd,bd->lhb", ws[0] / norm0, x,
+                       precision=prec) + bs[0]
         h = act(h)
         for i in range(1, len(ws)):
-            h = jnp.einsum("lhp,lpb->lhb", ws[i] / norm0, h) + bs[i]
+            h = jnp.einsum("lhp,lpb->lhb", ws[i] / norm0, h,
+                           precision=prec) + bs[i]
             if i < len(ws) - 1:
                 h = act(h)
         out = jnp.transpose(h, (2, 0, 1))  # (B, L, O)
@@ -231,13 +259,15 @@ def make_mlp_eigfuncs(
     feature_map: Optional[Tuple[Callable, Callable]] = None,
     debug: bool = False,
     compute_dtype=None,
+    matmul_precision=None,
 ):
     if not parallel:
         in_dim = input_dim if feature_map is None else _feature_dim(feature_map)
         sizes = [in_dim] + list(mlp_hidden_dims) + [neigs]
         return make_mlp(sizes, nonlinearity, bias=bias,
                         weight_normalization=weight_normalization,
-                        feature_map=feature_map)
+                        feature_map=feature_map,
+                        matmul_precision=matmul_precision)
     return make_parallel_mlp(
         input_dim=input_dim,
         mlp_hidden_dims=mlp_hidden_dims,
@@ -249,6 +279,7 @@ def make_mlp_eigfuncs(
         feature_map=feature_map,
         debug=debug,
         compute_dtype=compute_dtype,
+        matmul_precision=matmul_precision,
     )
 
 

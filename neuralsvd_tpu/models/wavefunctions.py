@@ -132,6 +132,7 @@ def make_wavefunctions(
     hard_mul_const: float = 1.0,
     debug: bool = False,
     compute_dtype=None,
+    matmul_precision=None,
 ):
     """Build the full wavefunction model (reference: pde/__init__.py:19-55).
 
@@ -160,6 +161,7 @@ def make_wavefunctions(
         feature_map=feature_map,
         debug=debug,
         compute_dtype=compute_dtype,
+        matmul_precision=matmul_precision,
     )
 
     box = None

@@ -92,6 +92,9 @@ class PDEConfig:
     boundary_mode: str = "dir_box_sqrt"
     apply_exp_mask: bool = False
     exp_mask_init_scale: float = 1000.0
+    matmul_precision: str = ""  # ""(ambient) | default | high | highest:
+    # per-einsum MXU tier for the eigenfunction-tower matmuls (f32 storage;
+    # Gram/Cholesky stay HIGHEST regardless — ops/gram.py)
     # sampling / validation
     sampling_mode: str = "gaussian"  # gaussian | laplacian | uniform |
     # gaussian_mixture (multi-scale; set sampling_scales)

@@ -107,6 +107,9 @@ EVAL_ROUNDS = int(os.environ.get("NS_EVAL_ROUNDS", "64"))
 BF16 = os.environ.get("NS_BF16", "0") == "1"  # bf16 tower einsums (exact
 # -JVP path only: FD stencils cancel catastrophically in bf16; features,
 # grams, Cholesky stay f32 — the CDK compute_dtype recipe, VERDICT r2 §7)
+PREC = os.environ.get("NS_PREC", "")  # tower matmul precision tier
+# ('high' = 3-pass bf16, f32 storage, error ~2^-21 — between NS_BF16's
+# 1-pass bf16 storage and the ambient f32-HIGHEST 6-pass; BASELINE.md E6)
 RESCUE = os.environ.get("NS_RESCUE", "0") == "1"
 RESCUE_EVERY = int(os.environ.get("NS_RESCUE_EVERY", "50000"))
 RESCUE_END_FRAC = float(os.environ.get("NS_RESCUE_END", "0.7"))
@@ -168,7 +171,8 @@ def build_model(lap_eps=LAP_EPS):
         exp_mask_conjugate_importance=(
             importance if os.environ.get("NS_EXP_MASK_CONJ") == "1"
             else None),
-        compute_dtype=(jnp.bfloat16 if BF16 else None))
+        compute_dtype=(jnp.bfloat16 if BF16 else None),
+        matmul_precision=(PREC or None))
     if BF16 and lap_eps > 0:
         raise SystemExit("NS_BF16=1 requires the exact Laplacian "
                          "(lap_eps <= 0): FD stencils are numerically "
@@ -336,7 +340,7 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
                    "envelopes": ENVELOPES,
                    "radial": RADIAL, "exp_mask": EXP_MASK,
                    "batch": BATCH, "lap_eps": lap_eps,
-                   "rescue": RESCUE, "bf16": BF16},
+                   "rescue": RESCUE, "bf16": BF16, "prec": PREC or None},
     }))
 
 

@@ -187,6 +187,32 @@ def test_parallel_mlp_bf16_compute_dtype(rng):
     assert np.isfinite(np.asarray(d2)).all()
 
 
+def test_parallel_mlp_matmul_precision_tiers(rng):
+    """matmul_precision threads a per-einsum MXU tier through the towers
+    (f32 storage; 'high' = 3-pass bf16 on TPU).  On CPU all tiers compute
+    in f32, so outputs must match HIGHEST bit-for-bit — this guards the
+    plumbing, the TPU win is measured in BASELINE.md E6."""
+    from neuralsvd_tpu.models import make_wavefunctions
+    from neuralsvd_tpu.models.mlp import resolve_matmul_precision
+
+    assert resolve_matmul_precision(None) is None
+    assert resolve_matmul_precision("high") == jax.lax.Precision.HIGH
+    assert resolve_matmul_precision("highest") == jax.lax.Precision.HIGHEST
+    assert resolve_matmul_precision("default") == jax.lax.Precision.DEFAULT
+
+    for parallel in (True, False):  # ParallelMLP einsums AND shared-trunk
+        kw = dict(ndim=2, neigs=4, mlp_hidden_dims=[32, 32],
+                  nonlinearity="softplus", parallel=parallel,
+                  use_fourier_feature=True, fourier_mapping_size=64,
+                  fourier_scale=0.5, apply_boundary=False)
+        init, apply = make_wavefunctions(**kw)
+        _, apply_hi = make_wavefunctions(**kw, matmul_precision="high")
+        params = init(jax.random.key(0))
+        x = jnp.asarray(rng.normal(size=(16, 2)).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(apply_hi(params, x)),
+                                      np.asarray(apply(params, x)))
+
+
 def test_parse_dims():
     assert parse_dims("128,128,64") == [128, 128, 64]
     assert parse_dims("32") == [32]
