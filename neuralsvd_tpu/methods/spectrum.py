@@ -118,14 +118,17 @@ def compute_spectrum_evd(
     outputs["eigfuncs"] = eigfuncs = np.concatenate(eigfuncs, axis=0)
     outputs["cov"] = cov
     outputs["quad"] = quad
-    outputs["eigvals"] = eigvals = np.diag(quad) / np.diag(cov)  # Rayleigh
-    outputs["norms"] = norms = np.diag(cov)  # NestedLoRA norm estimator
-    if normalize:
-        # floor: a zero-norm (dead) mode must yield zeros, not NaNs that
-        # poison downstream health checks (mode_health)
-        sn = np.sqrt(np.maximum(norms, 1e-300))[:, None]
-        outputs["cov"] = cov / (sn @ sn.T)
-        outputs["eigfuncs"] = eigfuncs / sn.T
+    # NaN/inf from a dead (zero-norm) or blown-up mode is an expected
+    # outcome here — mode_health reads it as dead — so don't warn.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        outputs["eigvals"] = eigvals = np.diag(quad) / np.diag(cov)  # Rayleigh
+        outputs["norms"] = norms = np.diag(cov)  # NestedLoRA norm estimator
+        if normalize:
+            # floor: a zero-norm (dead) mode must yield zeros, not NaNs that
+            # poison downstream health checks (mode_health)
+            sn = np.sqrt(np.maximum(norms, 1e-300))[:, None]
+            outputs["cov"] = cov / (sn @ sn.T)
+            outputs["eigfuncs"] = eigfuncs / sn.T
     if sort:
         idx = np.argsort(eigvals)[::-1]
         outputs["eigvals"] = outputs["eigvals"][idx]
