@@ -87,6 +87,9 @@ def make_mlp(
     sizes = list(sizes)
     act = get_activation(nonlinearity)
     prec = resolve_matmul_precision(matmul_precision)
+    if _is_split(prec):
+        raise ValueError("split matmul_precision specs ('head@k,tail') "
+                         "require the per-mode ParallelMLP (parallel=True)")
     n_layers = len(sizes) - 1
     fm_init, fm_apply = feature_map if feature_map is not None else (None, None)
 
@@ -128,17 +131,51 @@ def make_mlp(
 # ---------------------------------------------------------------------------
 
 def resolve_matmul_precision(precision):
-    """None | 'default' | 'high' | 'highest' | lax.Precision -> precision arg.
+    """None | 'default' | 'high' | 'highest' | lax.Precision | split spec.
 
     TPU tiers: DEFAULT = 1-pass bf16, HIGH = 3-pass bf16 (~2x slower than
     DEFAULT, ~f32-grade error 2^-21), HIGHEST = 6-pass bf16 (f32 emulation).
     ``None`` inherits the ambient jax_default_matmul_precision.
+
+    A split spec ``'<head>@<k>,<tail>'`` (e.g. ``'highest@1,high'``) runs
+    the first k towers at <head> and the rest at <tail> — ParallelMLP
+    only.  Motivation (BASELINE.md E6): the quadrature-limited ground
+    state is the only mode that measurably degrades under the 3-pass
+    tier, so pinning tower 0 at HIGHEST buys most of the 1.79x speedup
+    without the 1s regression.  Returns ``('split', head, k, tail)``.
     """
     if precision is None or isinstance(precision, jax.lax.Precision):
         return precision
+    if isinstance(precision, str) and "@" in precision:
+        head, rest = precision.split("@", 1)
+        k_str, tail = rest.split(",", 1)
+        return ("split", resolve_matmul_precision(head), int(k_str),
+                resolve_matmul_precision(tail))
     return jax.lax.Precision(
         {"default": "fastest", "high": "high", "highest": "highest"}
         .get(precision, precision))
+
+
+def _is_split(prec) -> bool:
+    return isinstance(prec, tuple) and len(prec) == 4 and prec[0] == "split"
+
+
+def _tower_einsum(eq, w, h, prec):
+    """Tower einsum with optional per-mode split precision.
+
+    ``w`` is (L, ...) per-mode weights; ``h`` is either the shared input
+    (B, d) (first layer) or per-mode activations (L, ..., B).
+    """
+    if not _is_split(prec):
+        return jnp.einsum(eq, w, h, precision=prec)
+    _, p_head, k, p_tail = prec
+    if h.ndim == 2:  # first layer: input shared across towers
+        h_head = h_tail = h
+    else:
+        h_head, h_tail = h[:k], h[k:]
+    return jnp.concatenate(
+        [jnp.einsum(eq, w[:k], h_head, precision=p_head),
+         jnp.einsum(eq, w[k:], h_tail, precision=p_tail)], axis=0)
 
 
 def make_parallel_mlp(
@@ -175,10 +212,16 @@ def make_parallel_mlp(
     ambient jax_default_matmul_precision.  'high' (3-pass bf16, error
     ~2^-21) keeps f32 *storage* — a finer knob than ``compute_dtype``
     =bf16, whose input rounding (2^-8) measurably degrades exact-JVP
-    eigvals (BASELINE.md E5).
+    eigvals (BASELINE.md E5).  A split spec ``'highest@1,high'`` pins the
+    first tower(s) at HIGHEST and runs the rest at the cheap tier (see
+    resolve_matmul_precision).
     """
     act = get_activation(nonlinearity)
     prec = resolve_matmul_precision(matmul_precision)
+    if _is_split(prec):
+        _, p_head, k, p_tail = prec
+        if not 0 < k < num_copies:  # degenerate split: single tier
+            prec = p_head if k >= num_copies else p_tail
     dims = list(mlp_hidden_dims) + [output_dim]
     fm_init, fm_apply = feature_map if feature_map is not None else (None, None)
 
@@ -219,12 +262,10 @@ def make_parallel_mlp(
             bs = [b.astype(compute_dtype) if hasattr(b, "astype") else b
                   for b in bs]
         norm0 = _norm(ws[0])
-        h = jnp.einsum("lhd,bd->lhb", ws[0] / norm0, x,
-                       precision=prec) + bs[0]
+        h = _tower_einsum("lhd,bd->lhb", ws[0] / norm0, x, prec) + bs[0]
         h = act(h)
         for i in range(1, len(ws)):
-            h = jnp.einsum("lhp,lpb->lhb", ws[i] / norm0, h,
-                           precision=prec) + bs[i]
+            h = _tower_einsum("lhp,lpb->lhb", ws[i] / norm0, h, prec) + bs[i]
             if i < len(ws) - 1:
                 h = act(h)
         out = jnp.transpose(h, (2, 0, 1))  # (B, L, O)

@@ -213,6 +213,46 @@ def test_parallel_mlp_matmul_precision_tiers(rng):
                                       np.asarray(apply(params, x)))
 
 
+def test_parallel_mlp_split_precision(rng):
+    """Split spec 'highest@k,high': first k towers at HIGHEST, rest at
+    HIGH, concatenated along the mode axis.  On CPU every tier computes
+    in f32, so the split output (and its grads) must equal the unsplit
+    network bit-for-bit; shared-trunk MLPs must reject split specs."""
+    import pytest
+
+    from neuralsvd_tpu.models import make_wavefunctions
+    from neuralsvd_tpu.models.mlp import resolve_matmul_precision
+
+    spec = resolve_matmul_precision("highest@1,high")
+    assert spec == ("split", jax.lax.Precision.HIGHEST, 1,
+                    jax.lax.Precision.HIGH)
+
+    kw = dict(ndim=2, neigs=5, mlp_hidden_dims=[32, 32],
+              nonlinearity="softplus", parallel=True,
+              use_fourier_feature=True, fourier_mapping_size=64,
+              fourier_scale=0.5, apply_boundary=False)
+    init, apply = make_wavefunctions(**kw)
+    _, apply_split = make_wavefunctions(**kw, matmul_precision="highest@2,high")
+    # degenerate splits clamp to a single tier instead of a 0-size einsum
+    _, apply_all_head = make_wavefunctions(**kw,
+                                           matmul_precision="highest@5,high")
+    params = init(jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(16, 2)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(apply_split(params, x)),
+                                  np.asarray(apply(params, x)))
+    np.testing.assert_array_equal(np.asarray(apply_all_head(params, x)),
+                                  np.asarray(apply(params, x)))
+
+    g_ref = jax.grad(lambda p: jnp.sum(apply(p, x) ** 2))(params)
+    g_split = jax.grad(lambda p: jnp.sum(apply_split(p, x) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_split)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError, match="ParallelMLP"):
+        make_wavefunctions(**{**kw, "parallel": False},
+                           matmul_precision="highest@1,high")
+
+
 def test_parse_dims():
     assert parse_dims("128,128,64") == [128, 128, 64]
     assert parse_dims("32") == [32]
