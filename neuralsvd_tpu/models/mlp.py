@@ -139,10 +139,13 @@ def resolve_matmul_precision(precision):
 
     A split spec ``'<head>@<k>,<tail>'`` (e.g. ``'highest@1,high'``) runs
     the first k towers at <head> and the rest at <tail> — ParallelMLP
-    only.  Motivation (BASELINE.md E6): the quadrature-limited ground
-    state is the only mode that measurably degrades under the 3-pass
-    tier, so pinning tower 0 at HIGHEST buys most of the 1.79x speedup
-    without the 1s regression.  Returns ``('split', head, k, tail)``.
+    only.  Measured outcome (BASELINE.md E7): pinning the ground-state
+    tower at HIGHEST did NOT recover the 1s accuracy lost under the
+    3-pass tier (the degradation couples through the shared metric
+    terms, not tower 0's own compute) and the split concat breaks the
+    fused tower einsum (200 steps/s vs uniform-'high' 434) — uniform
+    tiers dominate; the knob is kept for experimentation only.
+    Returns ``('split', head, k, tail)``.
     """
     if precision is None or isinstance(precision, jax.lax.Precision):
         return precision
