@@ -69,7 +69,8 @@ def main(cfg: PDEConfig):
         problem=cfg.problem, potential_type=cfg.potential_type,
         ndim=cfg.ndim, neigs=cfg.neigs, lim=cfg.lim, charge=cfg.charge,
         hydrogen_mol_ion_R=cfg.hydrogen_mol_ion_R, mol_name=cfg.mol_name,
-        laplacian_eps=cfg.laplacian_eps, operator_scale=cfg.operator_scale,
+        laplacian_eps=cfg.laplacian_eps, laplacian_mode=cfg.laplacian_mode,
+        operator_scale=cfg.operator_scale,
         operator_shift=cfg.operator_shift, scale_operator=cfg.scale_operator)
 
     init, apply = make_wavefunctions(

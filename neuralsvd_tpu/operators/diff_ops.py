@@ -80,15 +80,24 @@ class VectorizedLaplacian:
     """Laplacian with optional importance-weighted conjugation.
 
     eps > 0 selects finite differences; eps <= 0 selects exact autodiff
-    (reference: diff_ops.py:4-23).
+    (reference: diff_ops.py:4-23).  ``exact_mode`` picks the exact
+    implementation: "forward" (default) = the fused forward-Laplacian
+    engine (ops/forward_laplacian.py, one primal pass, ~(D+2) vs
+    ~(4D+1) tower-passes); "jvp" = the vmapped nested-JVP path (kept as
+    the independently-validated oracle).
     """
 
-    def __init__(self, eps: float = 1e-5):
+    def __init__(self, eps: float = 1e-5, exact_mode: str = "forward"):
+        assert exact_mode in ("forward", "jvp")
         self.eps = eps
+        self.exact_mode = exact_mode
 
     def _lap(self, f, xs, return_grad):
         if self.eps > 0:
             return batched_fd_laplacian(f, xs, self.eps, return_grad)
+        if self.exact_mode == "forward":
+            from neuralsvd_tpu.ops.forward_laplacian import forward_laplacian
+            return forward_laplacian(f, xs, return_grad)
         return exact_laplacian(f, xs, return_grad)
 
     def __call__(self, f: Callable, xs: jax.Array,

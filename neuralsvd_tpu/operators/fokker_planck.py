@@ -20,8 +20,9 @@ def sin_of_cos_potential(xs, cs):
 
 class NegativeLinearFokkerPlanck:
     def __init__(self, local_potential_ftn: Callable, scale: float = 1.0,
-                 laplacian_eps: float = 1e-5):
-        self.laplacian = VectorizedLaplacian(eps=laplacian_eps)
+                 laplacian_eps: float = 1e-5, laplacian_mode: str = "forward"):
+        self.laplacian = VectorizedLaplacian(eps=laplacian_eps,
+                                             exact_mode=laplacian_mode)
         self.local_potential_ftn = local_potential_ftn
         self.scale = scale
 

@@ -71,6 +71,7 @@ def get_problem(
     hydrogen_mol_ion_R: float = 1.0,
     mol_name: Optional[str] = None,
     laplacian_eps: float = 0.1,
+    laplacian_mode: str = "forward",
     operator_scale: float = 1.0,
     operator_shift: float = 0.0,
     scale_operator: float = 1.0,
@@ -129,6 +130,7 @@ def get_problem(
             local_potential_ftn=pot,
             scale_kinetic=scale_kinetic,
             laplacian_eps=laplacian_eps,
+            laplacian_mode=laplacian_mode,
             n_particles=n_particles,
         )
         # the spectrum eval zeroes T(phi) at x == 0 only for potentials
@@ -145,6 +147,7 @@ def get_problem(
             local_potential_ftn=partial(sin_of_cos_potential, cs=_FP_CS[ndim]),
             scale=scale_operator,
             laplacian_eps=laplacian_eps,
+            laplacian_mode=laplacian_mode,
         )
     else:
         raise NotImplementedError(problem)

@@ -87,8 +87,10 @@ class NegativeHamiltonian:
     """
 
     def __init__(self, local_potential_ftn: Callable, scale_kinetic: float = 1.0,
-                 laplacian_eps: float = 1e-5, n_particles: int = 1):
-        self.laplacian = VectorizedLaplacian(eps=laplacian_eps)
+                 laplacian_eps: float = 1e-5, laplacian_mode: str = "forward",
+                 n_particles: int = 1):
+        self.laplacian = VectorizedLaplacian(eps=laplacian_eps,
+                                             exact_mode=laplacian_mode)
         self.local_potential_ftn = local_potential_ftn
         self.scale_kinetic = scale_kinetic
         self.n_particles = n_particles

@@ -1,0 +1,408 @@
+"""Forward-Laplacian propagation: (f, ∇f, ∇²f) in ONE fused pass.
+
+The exact-Laplacian path in ``operators/diff_ops.py`` vmaps a nested JVP
+over the D coordinate directions, which re-runs the primal network once
+per direction: ~(4D + 1) tower-passes for an MLP (D=2 hydrogen: ~9).
+This module instead interprets the function's jaxpr once, carrying a
+*dual triple* per intermediate array::
+
+    v : the value                                   (shape S)
+    j : stacked directional derivatives ∂_d (·)     ((D,) + S)
+    l : the Laplacian channel Σ_d ∂²_d (·)          (shape S)
+
+through specialized rules — a linear layer costs v + j + l = (D + 2)
+matmuls instead of the nested-JVP ~(4D + 1), and the primal is computed
+exactly once.  This is the "forward Laplacian" scheme of Li et al.
+(arXiv:2307.08214), built TPU-first: everything is traced into one XLA
+computation with static shapes, the j channel rides a leading D batch
+dim on the MXU, and there are no transposes (no reverse-mode), unlike
+the reference's reverse-over-reverse (examples/operator/pde/
+diff_ops.py:54-121, O(L) backward passes).
+
+Semantics match ``diff_ops.exact_laplacian``: directions are GLOBAL
+coordinate shifts, so the per-sample Laplacian is recovered only for
+sample-diagonal ``f`` (f(xs)[b] depends on xs[b] alone) — the same
+assumption the vmapped-JVP path makes by broadcasting e over the batch.
+
+Coverage: specialized rules for every primitive the wavefunction stack
+emits (dot_general, elementwise transcendentals, structural/linear ops,
+piecewise select/clip) plus recursion into pjit / custom_jvp_call
+sub-jaxprs.  Any OTHER smooth primitive falls back to an exact local
+nested-JVP rule (``_fallback_rule``) — slower for that one equation but
+always correct, so new model components never silently break.
+Non-smooth primitives (abs, max, min, select_n) use their a.e.
+derivatives, matching what nested JVP computes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.extend.core import Literal as _Literal
+
+__all__ = ["forward_laplacian"]
+
+
+class _Dual(NamedTuple):
+    """Value + optional derivative channels (None = identically zero)."""
+
+    v: jax.Array
+    j: Optional[jax.Array]  # (D,) + v.shape
+    l: Optional[jax.Array]  # v.shape
+
+
+def _const(v):
+    return _Dual(v, None, None)
+
+
+def _is_const(d: _Dual) -> bool:
+    return d.j is None and d.l is None
+
+
+def _j_mat(d: _Dual, ndir: int):
+    if d.j is not None:
+        return d.j
+    return jnp.zeros((ndir,) + jnp.shape(d.v), jnp.result_type(d.v))
+
+
+def _l_mat(d: _Dual):
+    if d.l is not None:
+        return d.l
+    return jnp.zeros(jnp.shape(d.v), jnp.result_type(d.v))
+
+
+def _maybe_add(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
+# ---------------------------------------------------------------------------
+# rules
+# ---------------------------------------------------------------------------
+
+def _linear_rule(prim, params, ins, ndir):
+    """Prims linear in every FLOAT array input (reshape, concatenate,
+    reduce_sum, gather, …).  The derivative channels go through the SAME
+    op, with constant float inputs replaced by zeros; integer/bool
+    inputs (gather indices, slice starts) are structural and pass
+    through by VALUE.  The j channel is vmapped over the leading
+    direction axis (vmap supplies the batching rule for shape params)."""
+    v = prim.bind(*[d.v for d in ins], **params)
+
+    def _structural(d):
+        return not jnp.issubdtype(jnp.result_type(d.v), jnp.inexact)
+
+    j = l = None
+    if any(d.j is not None for d in ins):
+        axes = tuple(None if _structural(d) else 0 for d in ins)
+        args = [d.v if _structural(d) else _j_mat(d, ndir) for d in ins]
+        j = jax.vmap(lambda *a: prim.bind(*a, **params),
+                     in_axes=axes)(*args)
+    if any(d.l is not None for d in ins):
+        l = prim.bind(*[d.v if _structural(d) else _l_mat(d)
+                        for d in ins], **params)
+    return _Dual(v, j, l)
+
+
+def _add_sub_rule(prim, params, ins, ndir, sign):
+    a, b = ins
+    v = prim.bind(a.v, b.v, **params)
+
+    def comb(ca, cb, bcast):
+        if cb is None and ca is None:
+            return None
+        if cb is None:
+            return bcast(ca, v)
+        cb = cb if sign > 0 else -cb
+        if ca is None:
+            return bcast(cb, v)
+        return bcast(ca, v) + bcast(cb, v)
+
+    return _Dual(v, comb(a.j, b.j, _bcast_j), comb(a.l, b.l, _bcast_l))
+
+
+def _bcast_l(chan, v):
+    """Broadcast an l channel to the output value's shape."""
+    if chan is None:
+        return None
+    return jnp.broadcast_to(chan, jnp.shape(v))
+
+
+def _bcast_j(chan, v):
+    """Broadcast a j channel to (D,) + output shape.  The leading
+    direction axis stays put; missing middle axes are inserted so numpy
+    right-aligned broadcasting applies to the value part only (a scalar
+    const's zero-j is (D,), not (D, 1, …))."""
+    if chan is None:
+        return None
+    tgt = jnp.shape(v)
+    pad = len(tgt) - (chan.ndim - 1)
+    if pad:
+        chan = chan.reshape(chan.shape[:1] + (1,) * pad + chan.shape[1:])
+    return jnp.broadcast_to(chan, chan.shape[:1] + tgt)
+
+
+def _mul_rule(prim, params, ins, ndir):
+    a, b = ins
+    v = a.v * b.v
+    j = _maybe_add(None if a.j is None else _bcast_j(a.j, v) * b.v,
+                   None if b.j is None else a.v * _bcast_j(b.j, v))
+    l = _maybe_add(None if a.l is None else _bcast_l(a.l, v) * b.v,
+                   None if b.l is None else a.v * _bcast_l(b.l, v))
+    if a.j is not None and b.j is not None:
+        l = _maybe_add(l, 2.0 * jnp.sum(_bcast_j(a.j, v) * _bcast_j(b.j, v),
+                                        axis=0))
+    return _Dual(v, j, l)
+
+
+def _div_rule(prim, params, ins, ndir):
+    a, b = ins
+    if _is_const(b):  # linear in a
+        v = a.v / b.v
+        j = None if a.j is None else _bcast_j(a.j, v) / b.v
+        l = None if a.l is None else _bcast_l(a.l, v) / b.v
+        return _Dual(v, j, l)
+    inv = _unary_apply(b, lambda x: 1.0 / x,
+                       lambda x, y: -y * y,
+                       lambda x, y: 2.0 * y * y * y)
+    return _mul_rule(prim, params, [a, inv], ndir)
+
+
+def _unary_apply(d: _Dual, u, u1, u2):
+    """y = u(x); u1/u2 take (x, y) so they can reuse y (exp, sqrt, tanh)."""
+    y = u(d.v)
+    if _is_const(d):
+        return _const(y)
+    d1 = u1(d.v, y)
+    j = None if d.j is None else d1 * d.j
+    l = None if d.l is None else d1 * d.l
+    if d.j is not None:
+        d2 = u2(d.v, y)
+        l = _maybe_add(l, d2 * jnp.sum(d.j * d.j, axis=0))
+    return _Dual(y, j, l)
+
+
+_UNARY = {
+    "exp": (jnp.exp, lambda x, y: y, lambda x, y: y),
+    "sin": (jnp.sin, lambda x, y: jnp.cos(x), lambda x, y: -y),
+    "cos": (jnp.cos, lambda x, y: -jnp.sin(x), lambda x, y: -y),
+    "sqrt": (jnp.sqrt, lambda x, y: 0.5 / y, lambda x, y: -0.25 / (y * x)),
+    "rsqrt": (lax.rsqrt, lambda x, y: -0.5 * y / x,
+              lambda x, y: 0.75 * y / (x * x)),
+    "log": (jnp.log, lambda x, y: 1.0 / x, lambda x, y: -1.0 / (x * x)),
+    "log1p": (jnp.log1p, lambda x, y: 1.0 / (1.0 + x),
+              lambda x, y: -1.0 / ((1.0 + x) * (1.0 + x))),
+    "tanh": (jnp.tanh, lambda x, y: 1.0 - y * y,
+             lambda x, y: -2.0 * y * (1.0 - y * y)),
+    "logistic": (jax.nn.sigmoid, lambda x, y: y * (1.0 - y),
+                 lambda x, y: y * (1.0 - y) * (1.0 - 2.0 * y)),
+    "abs": (jnp.abs, lambda x, y: jnp.sign(x), lambda x, y: jnp.zeros_like(x)),
+    "neg": (jnp.negative, lambda x, y: jnp.full_like(x, -1.0),
+            lambda x, y: jnp.zeros_like(x)),
+    "sign": (jnp.sign, lambda x, y: jnp.zeros_like(x),
+             lambda x, y: jnp.zeros_like(x)),
+}
+
+
+def _integer_pow_rule(prim, params, ins, ndir):
+    n = params["y"]
+    return _unary_apply(
+        ins[0], lambda x: lax.integer_pow(x, n),
+        lambda x, y: n * lax.integer_pow(x, n - 1),
+        lambda x, y: n * (n - 1) * lax.integer_pow(x, n - 2))
+
+
+def _pow_rule(prim, params, ins, ndir):
+    a, b = ins
+    if _is_const(b):  # x ** c
+        c = b.v
+        return _unary_apply(a, lambda x: lax.pow(x, c),
+                            lambda x, y: c * lax.pow(x, c - 1.0),
+                            lambda x, y: c * (c - 1.0) * lax.pow(x, c - 2.0))
+    return _fallback_rule(prim, params, ins, ndir)
+
+
+def _select_rule(prim, params, ins, ndir):
+    """max/min/select_n: piecewise selection — channels follow the branch
+    the VALUE takes (a.e. derivative, same as nested JVP)."""
+    name = prim.name
+    if name == "select_n":
+        pred, *cases = ins
+        v = prim.bind(pred.v, *[c.v for c in cases], **params)
+        j = l = None
+        if any(c.j is not None for c in cases):
+            pj = jnp.broadcast_to(pred.v, (ndir,) + jnp.shape(pred.v))
+            j = lax.select_n(pj, *[_bcast_j(_j_mat(c, ndir), v)
+                                   for c in cases])
+        if any(c.l is not None for c in cases):
+            l = lax.select_n(pred.v, *[_bcast_l(_l_mat(c), v)
+                                       for c in cases])
+        return _Dual(v, j, l)
+    a, b = ins
+    v = prim.bind(a.v, b.v, **params)
+    take_a = (a.v >= b.v) if name == "max" else (a.v <= b.v)
+    j = l = None
+    if a.j is not None or b.j is not None:
+        j = jnp.where(take_a, _bcast_j(_j_mat(a, ndir), v),
+                      _bcast_j(_j_mat(b, ndir), v))
+    if a.l is not None or b.l is not None:
+        l = jnp.where(take_a, _bcast_l(_l_mat(a), v),
+                      _bcast_l(_l_mat(b), v))
+    return _Dual(v, j, l)
+
+
+def _cmp_rule(prim, params, ins, ndir):
+    return _const(prim.bind(*[d.v for d in ins], **params))
+
+
+def _dot_general_rule(prim, params, ins, ndir):
+    a, b = ins
+    bind = partial(prim.bind, **params)
+    v = bind(a.v, b.v)
+    vm_l = jax.vmap(bind, in_axes=(0, None))
+    vm_r = jax.vmap(bind, in_axes=(None, 0))
+    vm_b = jax.vmap(bind, in_axes=(0, 0))
+    j = _maybe_add(None if a.j is None else vm_l(a.j, b.v),
+                   None if b.j is None else vm_r(a.v, b.j))
+    l = _maybe_add(None if a.l is None else bind(a.l, b.v),
+                   None if b.l is None else bind(a.v, b.l))
+    if a.j is not None and b.j is not None:
+        l = _maybe_add(l, 2.0 * jnp.sum(vm_b(a.j, b.j), axis=0))
+    return _Dual(v, j, l)
+
+
+def _fallback_rule(prim, params, ins, ndir):
+    """Exact local rule for any smooth primitive without a specialized
+    one: Laplacian chain rule  l_out = J_g·l_in + Σ_d J_d^T H_g J_d,
+    computed with nested JVPs local to THIS equation only."""
+    multi = prim.multiple_results
+    vs = tuple(d.v for d in ins)
+
+    def g(*args):
+        out = prim.bind(*args, **params)
+        return tuple(out) if multi else out
+
+    ls = tuple(_l_mat(d) for d in ins)
+    v_out, lin = jax.jvp(g, vs, ls)
+
+    def per_dir(tangents):
+        jv, j_out = jax.jvp(g, vs, tangents)
+        quad = jax.jvp(lambda *zz: jax.jvp(g, zz, tangents)[1],
+                       vs, tangents)[1]
+        return j_out, quad
+
+    js = tuple(_j_mat(d, ndir) for d in ins)
+    j_out, quads = jax.vmap(per_dir)(js)
+    if multi:
+        duals = []
+        for k in range(len(v_out)):
+            lk = lin[k] + jax.tree.map(lambda q: jnp.sum(q, 0), quads[k])
+            duals.append(_Dual(v_out[k], j_out[k], lk))
+        return duals
+    return _Dual(v_out, j_out, lin + jnp.sum(quads, axis=0))
+
+
+_LINEAR_PRIMS = {
+    "reshape", "transpose", "broadcast_in_dim", "squeeze", "slice",
+    "concatenate", "reduce_sum", "convert_element_type", "expand_dims",
+    "rev", "pad", "gather", "dynamic_slice", "real", "imag",
+    "copy", "reduce_precision",
+}
+
+_CMP_PRIMS = {"eq", "ne", "lt", "le", "gt", "ge", "and", "or", "not",
+              "is_finite", "iota", "stop_gradient", "round", "floor",
+              "ceil", "sign_p"}
+
+
+def _interpret(jaxpr, consts, in_duals, ndir):
+    env = {}
+
+    def read(a):
+        if isinstance(a, _Literal):
+            return _const(a.val)
+        return env[a]
+
+    def write(var, dual):
+        env[var] = dual
+
+    for var, c in zip(jaxpr.constvars, consts):
+        write(var, _const(c))
+    for var, d in zip(jaxpr.invars, in_duals):
+        write(var, d)
+
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive
+        name = prim.name
+        ins = [read(a) for a in eqn.invars]
+        if all(_is_const(d) for d in ins):
+            out = prim.bind(*[d.v for d in ins], **eqn.params)
+            outs = [_const(o) for o in (out if prim.multiple_results
+                                        else [out])]
+        elif name in ("pjit", "jit", "closed_call", "core_call",
+                      "custom_vjp_call_jaxpr", "remat", "checkpoint"):
+            sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            outs = _interpret(sub.jaxpr, sub.consts, ins, ndir)
+        elif name in ("custom_jvp_call", "custom_jvp_call_jaxpr",
+                      "custom_vjp_call"):
+            # differentiate the PRIMAL body (softplus etc.); the custom
+            # first-order rule is respected implicitly because the primal
+            # body is mathematically the same function
+            sub = eqn.params.get("call_jaxpr") or eqn.params.get(
+                "fun_jaxpr")
+            outs = _interpret(sub.jaxpr, sub.consts, ins, ndir)
+        else:
+            if name in ("add", "add_any", "sub"):
+                out = _add_sub_rule(prim, eqn.params, ins, ndir,
+                                    +1 if name != "sub" else -1)
+            elif name == "mul":
+                out = _mul_rule(prim, eqn.params, ins, ndir)
+            elif name == "div":
+                out = _div_rule(prim, eqn.params, ins, ndir)
+            elif name in _UNARY:
+                out = _unary_apply(ins[0], *_UNARY[name])
+            elif name == "integer_pow":
+                out = _integer_pow_rule(prim, eqn.params, ins, ndir)
+            elif name == "pow":
+                out = _pow_rule(prim, eqn.params, ins, ndir)
+            elif name == "dot_general":
+                out = _dot_general_rule(prim, eqn.params, ins, ndir)
+            elif name in ("max", "min", "select_n"):
+                out = _select_rule(prim, eqn.params, ins, ndir)
+            elif name in _CMP_PRIMS:
+                out = _cmp_rule(prim, eqn.params, ins, ndir)
+            elif name in _LINEAR_PRIMS:
+                out = _linear_rule(prim, eqn.params, ins, ndir)
+            else:
+                out = _fallback_rule(prim, eqn.params, ins, ndir)
+            outs = out if isinstance(out, list) else [out]
+        for var, o in zip(eqn.outvars, outs):
+            write(var, o)
+
+    return [read(v) for v in jaxpr.outvars]
+
+
+def forward_laplacian(f, xs: jax.Array, return_grad: bool = False):
+    """Exact (f(x), ∇f, ∇²f) at ``xs`` (B, D) in one fused pass.
+
+    Drop-in replacement for ``diff_ops.exact_laplacian``: returns
+    (lap (B, L), grad (B, L, D) or 0., fs (B, L)).  ``f`` must be
+    sample-diagonal (each output row depends on its input row only).
+    """
+    B, D = xs.shape[0], xs.shape[-1]
+    xs_flat = xs.reshape(B, D)
+    closed = jax.make_jaxpr(f)(xs_flat)
+    eye = jnp.eye(D, dtype=xs_flat.dtype)
+    seed = _Dual(xs_flat,
+                 jnp.broadcast_to(eye[:, None, :], (D, B, D)), None)
+    (out,) = _interpret(closed.jaxpr, closed.consts, [seed], D)
+    lap = _l_mat(out)
+    if return_grad:
+        grad = jnp.moveaxis(_j_mat(out, D), 0, -1)  # (B, L, D)
+        return lap, grad, out.v
+    return lap, 0.0, out.v

@@ -71,6 +71,9 @@ class PDEConfig:
     charge: float = 1.0
     hydrogen_mol_ion_R: float = 1.0
     laplacian_eps: float = 0.1
+    # exact-Laplacian implementation when laplacian_eps <= 0:
+    # "forward" = fused forward-Laplacian engine, "jvp" = nested JVP
+    laplacian_mode: str = "forward"
     hard_mul_const: float = 1.0
     operator_scale: float = 1.0
     operator_shift: float = 0.0

@@ -177,7 +177,8 @@ def build_model(lap_eps=LAP_EPS):
     """
     operator, gt, _ = get_problem(
         problem="sch", potential_type="hydrogen", ndim=NDIM, neigs=NEIGS,
-        laplacian_eps=lap_eps, operator_scale=100.0)
+        laplacian_eps=lap_eps, operator_scale=100.0,
+        laplacian_mode=os.environ.get("NS_LAP", "forward"))
     sampler, importance = make_sampling(BATCH)
     init, apply = make_wavefunctions(
         ndim=NDIM, neigs=NEIGS, mlp_hidden_dims=[128, 128, 128],

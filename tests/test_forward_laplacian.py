@@ -1,0 +1,116 @@
+"""Forward-Laplacian engine vs the nested-JVP oracle and closed forms.
+
+The interpreter must agree with diff_ops.exact_laplacian (vmapped
+JVP-over-JVP — itself gradient-tested) to float32 roundoff on every
+model configuration the frameworks ships, compose with jit/grad (it runs
+inside the training step), and fall back exactly on primitives without
+specialized rules (reduce_prod from the box boundary mask).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralsvd_tpu.models.wavefunctions import make_wavefunctions
+from neuralsvd_tpu.operators.diff_ops import exact_laplacian
+from neuralsvd_tpu.ops.forward_laplacian import forward_laplacian
+
+jax.config.update("jax_default_matmul_precision", "float32")
+
+
+def _rel(a, b):
+    return float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-12))
+
+
+def test_gaussian_closed_form(rng):
+    """f(x) = exp(-|x|^2/2): ∇f = -x f, ∇²f = (|x|^2 - D) f."""
+    x = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+    f = lambda xx: jnp.exp(-0.5 * jnp.sum(xx ** 2, -1, keepdims=True))
+    lap, grad, fs = forward_laplacian(f, x, return_grad=True)
+    r2 = jnp.sum(x ** 2, -1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(fs), np.exp(-0.5 * np.asarray(r2)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lap), np.asarray((r2 - 3) * fs),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad),
+                               np.asarray(-x[:, None, :] * fs[..., None]),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(ndim=2, parallel=True, fourier_append_radial=True,
+         fourier_append_envelopes=(2.0, 0.667, 0.4), apply_boundary=False),
+    dict(ndim=2, parallel=True, apply_boundary=True,
+         boundary_mode="dir_box_sqrt", lim=4.0),
+    dict(ndim=2, parallel=True, apply_exp_mask=True,
+         exp_mask_init_scale=5.0, apply_boundary=False),
+    dict(ndim=3, parallel=False, apply_boundary=False),
+], ids=["hydrogen-features", "box-sqrt-mask", "exp-mask", "3d-shared"])
+def test_matches_nested_jvp_on_wavefunctions(rng, kw):
+    init, apply = make_wavefunctions(
+        neigs=6, mlp_hidden_dims=[16, 16], nonlinearity="softplus",
+        use_fourier_feature=True, fourier_mapping_size=8,
+        fourier_scale=1.0, **kw)
+    params = init(jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(8, kw["ndim"])).astype(np.float32))
+    f = lambda xx: apply(params, xx)
+    l1, g1, v1 = exact_laplacian(f, x, return_grad=True)
+    l2, g2, v2 = forward_laplacian(f, x, return_grad=True)
+    assert _rel(v1, v2) < 3e-6
+    assert _rel(g1, g2) < 3e-5
+    assert _rel(l1, l2) < 3e-5
+
+
+def test_jit_and_grad_through_with_importance(rng):
+    """The engine runs inside the jitted train step and under jax.grad,
+    wrapped by the sqrt-importance conjugation (operators/diff_ops.py)."""
+    init, apply = make_wavefunctions(
+        ndim=2, neigs=4, mlp_hidden_dims=[16, 16], nonlinearity="softplus",
+        parallel=True, use_fourier_feature=True, fourier_mapping_size=8,
+        fourier_scale=1.0, apply_boundary=False)
+    params = init(jax.random.key(1))
+    x = jnp.asarray(rng.normal(size=(8, 2)).astype(np.float32))
+    imp = lambda xx: (jnp.exp(-0.5 * jnp.sum(xx ** 2, -1, keepdims=True))
+                      / (2 * np.pi))
+
+    def loss(p, lapfn):
+        g = lambda xx: jnp.sqrt(imp(xx)) * apply(p, xx)
+        lap, _, fs = lapfn(g, x)
+        return jnp.sum(lap * fs)
+
+    l_ref = jax.jit(lambda p: loss(p, exact_laplacian))(params)
+    l_new = jax.jit(lambda p: loss(p, forward_laplacian))(params)
+    np.testing.assert_allclose(float(l_ref), float(l_new), rtol=1e-6)
+
+    g_ref = jax.grad(lambda p: loss(p, exact_laplacian))(params)
+    g_new = jax.grad(lambda p: loss(p, forward_laplacian))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_new)):
+        assert _rel(a, b) < 1e-5
+
+
+def test_fallback_rule_reduce_prod(rng):
+    """reduce_prod has no specialized rule — exercises _fallback_rule
+    (exact local nested JVP) mixed into surrounding specialized rules."""
+    x = jnp.asarray(rng.normal(size=(8, 2)).astype(np.float32))
+    f = lambda xx: (jnp.prod(16.0 - xx ** 2, axis=-1, keepdims=True)
+                    * jnp.sin(xx[:, :1]))
+    l1, g1, v1 = exact_laplacian(f, x, return_grad=True)
+    l2, g2, v2 = forward_laplacian(f, x, return_grad=True)
+    assert _rel(v1, v2) < 1e-6
+    assert _rel(g1, g2) < 1e-5
+    assert _rel(l1, l2) < 1e-5
+
+
+def test_piecewise_clip_matches_jvp(rng):
+    """clip/max/min/where: a.e. derivatives must match the nested-JVP
+    convention (channels follow the branch the value takes)."""
+    x = jnp.asarray(rng.normal(size=(32, 2)).astype(np.float32))
+    f = lambda xx: jnp.where(
+        xx[:, :1] > 0.0,
+        jnp.clip(xx ** 2, 0.05, 2.0).sum(-1, keepdims=True),
+        jnp.abs(xx[:, 1:]) * xx[:, :1])
+    l1, g1, v1 = exact_laplacian(f, x, return_grad=True)
+    l2, g2, v2 = forward_laplacian(f, x, return_grad=True)
+    assert _rel(v1, v2) < 1e-6
+    assert _rel(g1, g2) < 1e-5
+    assert _rel(l1, l2) < 1e-5
