@@ -58,8 +58,10 @@ def _bench_scanned(step_fn, ts):
     return best
 
 
-def bench_jax_e4():
-    """The gate-passing config (E4): ParallelMLP + mixture + exact JVP."""
+def bench_jax_e4(laplacian_mode="forward"):
+    """The gate-passing config (E4): ParallelMLP + mixture + exact
+    Laplacian ("forward" = fused forward-Laplacian engine, "jvp" = the
+    round-2 vmapped nested-JVP path)."""
     from neuralsvd_tpu.data.samplers import get_sampler
     from neuralsvd_tpu.methods.nestedlora import NestedLoRA
     from neuralsvd_tpu.models import make_wavefunctions
@@ -77,7 +79,8 @@ def bench_jax_e4():
     params = init(jax.random.key(0))
     operator, _, _ = get_problem(
         problem="sch", potential_type="hydrogen", ndim=NDIM, neigs=NEIGS,
-        laplacian_eps=-1.0, operator_scale=100.0)
+        laplacian_eps=-1.0, laplacian_mode=laplacian_mode,
+        operator_scale=100.0)
     sampler, importance = get_sampler("gaussian_mixture", BATCH, 1, NDIM,
                                       MIX_SCALES)
     method = NestedLoRA(apply, neigs=NEIGS, sequential=True)
