@@ -46,7 +46,7 @@ jax.config.update("jax_default_matmul_precision", "float32")
 
 from neuralsvd_tpu.data.samplers import get_sampler  # noqa: E402
 from neuralsvd_tpu.methods.nestedlora import NestedLoRA  # noqa: E402
-from neuralsvd_tpu.methods.spectrum import grouped_rayleigh  # noqa: E402
+from neuralsvd_tpu.methods.spectrum import spectrum_report  # noqa: E402
 from neuralsvd_tpu.models import make_wavefunctions  # noqa: E402
 from neuralsvd_tpu.operators.ground_truths import (  # noqa: E402
     Hydrogen2D,
@@ -292,13 +292,6 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
     train_time = time.time() - t0
 
     # eval under the sampling measure with conjugation (EMA params)
-    from scipy.linalg import eigh as scipy_eigh
-
-    from neuralsvd_tpu.methods.spectrum import (
-        format_mode_health,
-        mode_health,
-    )
-
     gt_sorted = np.sort(np.asarray(gt))[::-1][:EVAL_TOP]
     gt_problem = Hydrogen2D() if NDIM == 2 else Hydrogen3D()
     cum = gt_problem.get_degeneracy(EVAL_TOP)  # cumulative group counts
@@ -306,43 +299,24 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
     assert group_sizes.sum() == EVAL_TOP
 
     def spectrum_of(params, tag):
+        # one tested code path for the collapse-/degeneracy-/guard-aware
+        # eval: methods/spectrum.py::spectrum_report
         cov, quad = accum_rounds(params, EVAL_ROUNDS, seed=3)
-        ray_full = np.diag(quad) / np.diag(cov)
-        top = np.argsort(ray_full)[::-1][:EVAL_TOP]  # reported towers
-        rayleigh = np.sort(ray_full[top])[::-1]
-        rel = np.abs(rayleigh - gt_sorted) / np.abs(gt_sorted)
-        covn = cov / np.sqrt(np.outer(np.diag(cov), np.diag(cov)))
-        max_off = float(np.abs(covn - np.eye(NEIGS)).max())
-        # dead/duplicate-mode report over ALL trained modes incl. guards
-        # (collapse-aware eval, VERDICT r2 §2)
-        health = mode_health(cov, quad)
-        report = format_mode_health(health)
-        if report:
-            print(f"[{tag}] {report}")
+        rep = spectrum_report(cov, quad, gt_sorted, group_sizes,
+                              top=EVAL_TOP)
+        if rep["report"]:
+            print(f"[{tag}] {rep['report']}")
         if EVAL_TOP < NEIGS:
-            print(f"[{tag}] guards:  ",
-                  np.round(np.sort(ray_full)[::-1][EVAL_TOP:], 4))
-        # degeneracy-aware pooled estimates (rotation-invariant per group;
-        # pooling refuses groups containing dead/duplicate modes)
-        grouped = grouped_rayleigh(np.diag(quad)[top], np.diag(cov)[top],
-                                   group_sizes, cov=cov[np.ix_(top, top)])
-        rel_grouped = np.abs(grouped - gt_sorted) / np.abs(gt_sorted)
-        # post-hoc orthogonalization: whiten cov, diagonalize quad; exact
-        # if span(f) contains the top-L eigenspace even when modes mix
-        w_eigvals, w_vecs = scipy_eigh(cov)
-        wh = (w_vecs @ np.diag(1 / np.sqrt(np.maximum(w_eigvals, 1e-12)))
-              @ w_vecs.T)
-        aligned = np.sort(
-            scipy_eigh(wh @ ((quad + quad.T) / 2) @ wh)[0])[::-1][:EVAL_TOP]
-        rel_aligned = np.abs(aligned - gt_sorted) / np.abs(gt_sorted)
-        print(f"[{tag}] learned: ", np.round(rayleigh, 4))
-        print(f"[{tag}] rel-err: ", np.round(rel, 5))
-        print(f"[{tag}] grouped: ", np.round(grouped, 4))
-        print(f"[{tag}] rel-grp: ", np.round(rel_grouped, 5))
-        print(f"[{tag}] aligned: ", np.round(aligned, 4))
-        print(f"[{tag}] rel-al:  ", np.round(rel_aligned, 5))
-        print(f"[{tag}] max_off_corr {max_off:.4f}")
-        return rel, rel_grouped, rel_aligned, max_off, health
+            print(f"[{tag}] guards:  ", np.round(rep["guards"], 4))
+        print(f"[{tag}] learned: ", np.round(rep["rayleigh"], 4))
+        print(f"[{tag}] rel-err: ", np.round(rep["rel"], 5))
+        print(f"[{tag}] grouped: ", np.round(rep["grouped"], 4))
+        print(f"[{tag}] rel-grp: ", np.round(rep["rel_grouped"], 5))
+        print(f"[{tag}] aligned: ", np.round(rep["aligned"], 4))
+        print(f"[{tag}] rel-al:  ", np.round(rep["rel_aligned"], 5))
+        print(f"[{tag}] max_off_corr {rep['max_off_corr']:.4f}")
+        return (rep["rel"], rep["rel_grouped"], rep["rel_aligned"],
+                rep["max_off_corr"], rep["health"])
 
     print("analytic:", np.round(gt_sorted, 4))
     spectrum_of(ts.params, "raw")

@@ -125,3 +125,50 @@ def test_experiment_store_roundtrip(tmp_path, rng):
     assert len(reader.resume_killed()) == 1
     mark_done(run_dir)
     assert len(reader.resume_killed()) == 0
+
+
+def test_spectrum_report_guard_modes_and_grouping(rng):
+    """spectrum_report with guards: synthetic accumulators from an exact
+    orthonormal basis with eigvals [10, 8, 8, 5, 3, 2] and top=4 grouping
+    [1, 2, 1] must pool the degenerate pair, report guards [3, 2], and
+    flag nothing."""
+    from neuralsvd_tpu.methods.spectrum import spectrum_report
+
+    eig = np.array([10.0, 8.0, 8.0, 5.0, 3.0, 2.0])
+    # random rotation within the degenerate (8, 8) pair: pooling must be
+    # invariant, per-mode quotients spread
+    th = 0.7
+    R = np.eye(6)
+    R[1:3, 1:3] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    cov = R.T @ np.eye(6) @ R
+    quad = R.T @ np.diag(eig) @ R
+    gt = np.array([10.0, 8.0, 8.0, 5.0])
+    rep = spectrum_report(cov, quad, gt, group_sizes=[1, 2, 1], top=4)
+    assert rep["n_spurious"] == 0 and rep["report"] == ""
+    np.testing.assert_allclose(rep["grouped"], gt, rtol=1e-10)
+    np.testing.assert_allclose(rep["aligned"], gt, rtol=1e-8)
+    np.testing.assert_allclose(rep["guards"], [3.0, 2.0], rtol=1e-10)
+    assert rep["rel_grouped"].max() < 1e-9
+
+
+def test_spectrum_report_flags_duplicates_and_refuses_pooling(rng):
+    """A near-zero-norm duplicate of mode 0 (the L=36 collapse signature)
+    must be diagnosed, counted in n_spurious, and its group must NOT be
+    pooled (grouped falls back to raw quotients there)."""
+    from neuralsvd_tpu.methods.spectrum import spectrum_report
+
+    cov = np.eye(4)
+    quad = np.diag([10.0, 4.0, 4.0, 9.9e-4])
+    # mode 3: tiny-amplitude copy of mode 0 (corr ~ 1, norm ~ 0)
+    cov[3, 3] = 1e-4
+    cov[0, 3] = cov[3, 0] = 0.0099  # corr 0.99 with mode 0
+    quad[3, 3] = 1e-3 * 10.0
+    gt = np.array([10.0, 4.0, 4.0, 2.0])
+    rep = spectrum_report(cov, quad, gt, group_sizes=[1, 2, 1], top=4)
+    assert rep["n_spurious"] >= 1
+    assert "DUPLICATE" in rep["report"] or "DEAD" in rep["report"]
+    # the spurious mode's inflated quotient (100 = 1e-3·10 / 1e-4) must
+    # stay visible in the metrics, not be laundered into a pooled group
+    # trace: pooling is refused for any group containing it
+    assert rep["rel"].max() > 5.0
+    assert rep["rel_grouped"].max() > 1.0
