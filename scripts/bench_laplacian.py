@@ -25,6 +25,20 @@ def main():
         "unit": "steps/sec",
     }), flush=True)
 
+    # 3D probe (H3D top-14 flagship config): the forward engine's edge
+    # grows with D — (D+2) vs ~(4D+1) tower passes
+    bench.NDIM, bench.NEIGS = 3, 14
+    bench.ENVELOPES = tuple(1.0 / (2 * (n + 1)) for n in range(3))
+    fwd3 = bench.bench_jax_e4("forward")
+    jvp3 = bench.bench_jax_e4("jvp")
+    print(json.dumps({
+        "metric": "hydrogen3d_L14_bs512_lap_engine_steps_per_sec",
+        "forward": round(fwd3, 2),
+        "jvp": round(jvp3, 2),
+        "speedup": round(fwd3 / jvp3, 3),
+        "unit": "steps/sec",
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()
