@@ -25,10 +25,19 @@ def term_plot_spectrum(spectrum: dict, width: int = 72, height: int = 14):
         if vals is None:
             continue
         vals = np.asarray(vals, dtype=float)
-        lo, hi = float(np.nanmin(vals)), float(np.nanmax(vals))
+        finite = vals[np.isfinite(vals)]
+        if finite.size == 0:
+            lines.append(f"{key}: all {len(vals)} values non-finite")
+            continue
+        lo, hi = float(finite.min()), float(finite.max())
         span = (hi - lo) or 1.0
         cols = np.linspace(0, len(vals) - 1, min(width, len(vals))).astype(int)
-        rows = ((vals[cols] - lo) / span * (height - 1)).round().astype(int)
+        # non-finite entries (under-trained / collapsed modes) clip to the
+        # plot edges instead of crashing the training log
+        rows = np.clip(
+            np.nan_to_num((vals[cols] - lo) / span * (height - 1),
+                          nan=0.0, posinf=height - 1, neginf=0.0),
+            0, height - 1).round().astype(int)
         grid = [[" "] * len(cols) for _ in range(height)]
         for c, r in enumerate(rows):
             grid[height - 1 - r][c] = "*"

@@ -58,3 +58,16 @@ def test_plotter_accumulates(tmp_path):
         p.update(i, loss=1.0 / (i + 1), lr=1e-3 * (5 - i))
     out = p.save(os.path.join(tmp_path, "curves.png"))
     assert os.path.exists(out)
+
+
+def test_term_plot_spectrum_nonfinite():
+    """NaN/Inf eigenvalues (under-trained or collapsed modes) must clip
+    to the plot edges, not crash the training log mid-run."""
+    import numpy as np
+
+    from neuralsvd_tpu.utils.plotting import term_plot_spectrum
+
+    out = term_plot_spectrum({"eigs": np.array([1.0, np.nan, 3.0, -np.inf]),
+                              "allbad": np.array([np.nan, np.inf])})
+    assert "eigs" in out and "*" in out
+    assert "non-finite" in out
