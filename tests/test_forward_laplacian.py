@@ -114,3 +114,38 @@ def test_piecewise_clip_matches_jvp(rng):
     assert _rel(v1, v2) < 1e-6
     assert _rel(g1, g2) < 1e-5
     assert _rel(l1, l2) < 1e-5
+
+
+def test_forward_engine_under_mesh(rng):
+    """The default exact path must compose with GSPMD (sharded batch)
+    and shard_map — multichip training runs the operator inside both."""
+    from functools import partial
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from neuralsvd_tpu.operators.problems import get_problem
+
+    init, apply = make_wavefunctions(
+        ndim=2, neigs=8, mlp_hidden_dims=[16, 16], nonlinearity="softplus",
+        parallel=True, use_fourier_feature=True, fourier_mapping_size=8,
+        fourier_scale=0.5, apply_boundary=False)
+    params = init(jax.random.key(0))
+    operator, _, _ = get_problem(
+        problem="sch", potential_type="hydrogen", ndim=2, neigs=8,
+        laplacian_eps=-1.0, laplacian_mode="forward", operator_scale=100.0)
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    x = jax.device_put(
+        jnp.asarray(rng.normal(size=(32, 2)).astype(np.float32)),
+        NamedSharding(mesh, P("dp", None)))
+
+    Tf, f = jax.jit(lambda p, x: operator(lambda xx: apply(p, xx), x))(
+        params, x)
+
+    sm = partial(jax.shard_map, mesh=mesh, in_specs=(P(), P("dp", None)),
+                 out_specs=(P("dp", None), P("dp", None)))
+    Tf2, f2 = jax.jit(sm(
+        lambda p, xx: operator(lambda z: apply(p, z), xx)))(params, x)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f2), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Tf), np.asarray(Tf2), rtol=2e-4,
+                               atol=1e-3)
