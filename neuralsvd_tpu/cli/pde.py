@@ -70,6 +70,7 @@ def main(cfg: PDEConfig):
         ndim=cfg.ndim, neigs=cfg.neigs, lim=cfg.lim, charge=cfg.charge,
         hydrogen_mol_ion_R=cfg.hydrogen_mol_ion_R, mol_name=cfg.mol_name,
         laplacian_eps=cfg.laplacian_eps, laplacian_mode=cfg.laplacian_mode,
+        laplacian_probes=cfg.laplacian_probes,
         operator_scale=cfg.operator_scale,
         operator_shift=cfg.operator_shift, scale_operator=cfg.scale_operator)
 

@@ -22,8 +22,17 @@ class OperatorWrapper:
         T(phi) at the origin only for singular potentials)."""
         return getattr(self.operator, "singular_at_origin", False)
 
-    def __call__(self, f, x, importance=None):
-        Tf, fs = self.operator(f, x, importance)
+    @property
+    def needs_key(self) -> bool:
+        """Forwarded: True for stochastic operators (Hutchinson Laplacian)
+        that want a per-step PRNG key bound by the train step."""
+        return getattr(self.operator, "needs_key", False)
+
+    def __call__(self, f, x, importance=None, key=None):
+        if key is not None and self.needs_key:
+            Tf, fs = self.operator(f, x, importance, key=key)
+        else:
+            Tf, fs = self.operator(f, x, importance)
         return self.scale * Tf + self.shift * fs, fs
 
 

@@ -85,16 +85,41 @@ class VectorizedLaplacian:
     engine (ops/forward_laplacian.py, one primal pass, ~(D+2) vs
     ~(4D+1) tower-passes); "jvp" = the vmapped nested-JVP path (kept as
     the independently-validated oracle).
+
+    ``num_probes`` > 0 (with eps <= 0) enables the UNBIASED stochastic
+    Hutchinson estimator (ops/forward_laplacian.hutchinson_laplacian):
+    k Rademacher probes seed the same forward engine, decoupling the
+    Laplacian cost from D — the lever for high-D quantum-chemistry
+    operators (D = ndim·n_electrons).  It needs per-call randomness:
+    callers that hold a key check ``needs_key`` and pass ``key=``;
+    key-less calls (spectrum eval) fall back to the exact engine, which
+    is the right default there anyway (one-off cost, zero variance).
+    No reference counterpart (the reference's exact Laplacian is always
+    O(D) backward passes, diff_ops.py:54-121).
     """
 
-    def __init__(self, eps: float = 1e-5, exact_mode: str = "forward"):
+    def __init__(self, eps: float = 1e-5, exact_mode: str = "forward",
+                 num_probes: int = 0):
         assert exact_mode in ("forward", "jvp")
         self.eps = eps
         self.exact_mode = exact_mode
+        self.num_probes = num_probes
 
-    def _lap(self, f, xs, return_grad):
+    @property
+    def needs_key(self) -> bool:
+        return self.eps <= 0 and self.num_probes > 0
+
+    def _lap(self, f, xs, return_grad, key=None):
         if self.eps > 0:
             return batched_fd_laplacian(f, xs, self.eps, return_grad)
+        if self.needs_key and key is not None:
+            assert not return_grad, (
+                "hutchinson mode carries probe-directional derivatives, "
+                "not the full gradient; use exact modes for return_grad")
+            from neuralsvd_tpu.ops.forward_laplacian import (
+                hutchinson_laplacian)
+            lap, fs = hutchinson_laplacian(f, xs, key, self.num_probes)
+            return lap, 0.0, fs
         if self.exact_mode == "forward":
             from neuralsvd_tpu.ops.forward_laplacian import forward_laplacian
             return forward_laplacian(f, xs, return_grad)
@@ -102,11 +127,11 @@ class VectorizedLaplacian:
 
     def __call__(self, f: Callable, xs: jax.Array,
                  importance: Optional[Callable] = None,
-                 return_grad: bool = False):
+                 return_grad: bool = False, key=None):
         if importance is None:
-            return self._lap(f, xs, return_grad)
+            return self._lap(f, xs, return_grad, key)
         g = lambda x: jnp.sqrt(importance(x)) * f(x)
-        lap_g, grad_g, gs = self._lap(g, xs, return_grad)
+        lap_g, grad_g, gs = self._lap(g, xs, return_grad, key)
         sqrt_ws = jnp.clip(jnp.sqrt(importance(xs)), min=1e-5)  # (B, 1)
         lap = lap_g / sqrt_ws
         fs = gs / sqrt_ws

@@ -72,6 +72,7 @@ def get_problem(
     mol_name: Optional[str] = None,
     laplacian_eps: float = 0.1,
     laplacian_mode: str = "forward",
+    laplacian_probes: int = 0,
     operator_scale: float = 1.0,
     operator_shift: float = 0.0,
     scale_operator: float = 1.0,
@@ -131,6 +132,7 @@ def get_problem(
             scale_kinetic=scale_kinetic,
             laplacian_eps=laplacian_eps,
             laplacian_mode=laplacian_mode,
+            laplacian_probes=laplacian_probes,
             n_particles=n_particles,
         )
         # the spectrum eval zeroes T(phi) at x == 0 only for potentials

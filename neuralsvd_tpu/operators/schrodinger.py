@@ -88,15 +88,24 @@ class NegativeHamiltonian:
 
     def __init__(self, local_potential_ftn: Callable, scale_kinetic: float = 1.0,
                  laplacian_eps: float = 1e-5, laplacian_mode: str = "forward",
-                 n_particles: int = 1):
+                 n_particles: int = 1, laplacian_probes: int = 0):
         self.laplacian = VectorizedLaplacian(eps=laplacian_eps,
-                                             exact_mode=laplacian_mode)
+                                             exact_mode=laplacian_mode,
+                                             num_probes=laplacian_probes)
         self.local_potential_ftn = local_potential_ftn
         self.scale_kinetic = scale_kinetic
         self.n_particles = n_particles
 
-    def __call__(self, f, xs, importance: Optional[Callable] = None):
-        lap, _, fs = self.laplacian(f, xs, importance)
+    @property
+    def needs_key(self) -> bool:
+        """True when the Laplacian is the stochastic Hutchinson estimator
+        (the train step then binds a per-step subkey; eval passes none and
+        gets the exact engine)."""
+        return self.laplacian.needs_key
+
+    def __call__(self, f, xs, importance: Optional[Callable] = None,
+                 key=None):
+        lap, _, fs = self.laplacian(f, xs, importance, key=key)
         kinetic = -self.scale_kinetic * lap
         V = self.local_potential_ftn(
             xs.reshape(xs.shape[0], self.n_particles, -1)).reshape(-1, 1)

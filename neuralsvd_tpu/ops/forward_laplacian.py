@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.extend.core import Literal as _Literal
 
-__all__ = ["forward_laplacian"]
+__all__ = ["forward_laplacian", "hutchinson_laplacian"]
 
 
 class _Dual(NamedTuple):
@@ -387,6 +387,17 @@ def _interpret(jaxpr, consts, in_duals, ndir):
     return [read(v) for v in jaxpr.outvars]
 
 
+def _run(f, xs_flat, probes):
+    """Interpret ``f`` with the j channel seeded by ``probes``
+    ((K, B, D) directional tangents); the l channel of the output is
+    Σ_k probe_kᵀ H probe_k (per sample, assuming f sample-diagonal)."""
+    closed = jax.make_jaxpr(f)(xs_flat)
+    seed = _Dual(xs_flat, probes, None)
+    (out,) = _interpret(closed.jaxpr, closed.consts, [seed],
+                        probes.shape[0])
+    return out
+
+
 def forward_laplacian(f, xs: jax.Array, return_grad: bool = False):
     """Exact (f(x), ∇f, ∇²f) at ``xs`` (B, D) in one fused pass.
 
@@ -396,13 +407,30 @@ def forward_laplacian(f, xs: jax.Array, return_grad: bool = False):
     """
     B, D = xs.shape[0], xs.shape[-1]
     xs_flat = xs.reshape(B, D)
-    closed = jax.make_jaxpr(f)(xs_flat)
     eye = jnp.eye(D, dtype=xs_flat.dtype)
-    seed = _Dual(xs_flat,
-                 jnp.broadcast_to(eye[:, None, :], (D, B, D)), None)
-    (out,) = _interpret(closed.jaxpr, closed.consts, [seed], D)
+    out = _run(f, xs_flat, jnp.broadcast_to(eye[:, None, :], (D, B, D)))
     lap = _l_mat(out)
     if return_grad:
         grad = jnp.moveaxis(_j_mat(out, D), 0, -1)  # (B, L, D)
         return lap, grad, out.v
     return lap, 0.0, out.v
+
+
+def hutchinson_laplacian(f, xs: jax.Array, key, num_probes: int):
+    """Unbiased stochastic Laplacian: (lap_est (B, L), fs (B, L)).
+
+    Rademacher probes r_k seed the engine's j channel, so its l channel
+    is Σ_k r_kᵀ H r_k and E[lap_est] = ∇²f with k probes costing what k
+    coordinate directions cost.  For high-D operators (quantum-chemistry
+    local energies, D = 3·n_electrons) this decouples the Laplacian cost
+    from D; the NestedLoRA operator term is linear in Tf, so an unbiased
+    Tf estimate gives an unbiased loss gradient (same argument as the
+    custom-vjp estimators, SURVEY §2.1).  Exact when num_probes >= D and
+    probes form an orthonormal basis — use forward_laplacian for that.
+    """
+    B, D = xs.shape[0], xs.shape[-1]
+    xs_flat = xs.reshape(B, D)
+    r = jax.random.rademacher(key, (num_probes, B, D),
+                              dtype=xs_flat.dtype)
+    out = _run(f, xs_flat, r)
+    return _l_mat(out) / num_probes, out.v

@@ -65,13 +65,23 @@ def make_train_step(
     replicas).
     """
 
+    # stochastic operators (Hutchinson Laplacian) draw per-step probes:
+    # bind a subkey into the operator closure so the method layer stays
+    # key-free (probes independent of the sample draw via distinct fold)
+    stochastic_op = getattr(operator, "needs_key", False)
+
     def step(ts: TrainState, key) -> tuple:
         if dp_axis is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(dp_axis))
         x = sampler(key)
         x = x.reshape(x.shape[0], -1)
+        op = operator
+        if stochastic_op:
+            op_key = jax.random.fold_in(key, 0x0BE5)
+            op = lambda f, xv, importance=None: operator(
+                f, xv, importance, key=op_key)
         loss, grads, aux, method_state = method.loss_and_grad(
-            ts.params, ts.method_state, x, operator, importance)
+            ts.params, ts.method_state, x, op, importance)
         if dp_axis is not None:
             # per-device grads are partial sums over local rows normalized
             # by the global batch (ops/nestedlora.py _axis_scale)

@@ -74,6 +74,10 @@ class PDEConfig:
     # exact-Laplacian implementation when laplacian_eps <= 0:
     # "forward" = fused forward-Laplacian engine, "jvp" = nested JVP
     laplacian_mode: str = "forward"
+    # > 0 (with laplacian_eps <= 0): unbiased Hutchinson Laplacian with
+    # this many Rademacher probes in TRAINING (eval stays exact) —
+    # decouples Laplacian cost from D for high-D/QC problems
+    laplacian_probes: int = 0
     hard_mul_const: float = 1.0
     operator_scale: float = 1.0
     operator_shift: float = 0.0
@@ -207,6 +211,7 @@ def run_name(cfg: PDEConfig) -> str:
         f"{loss_descriptor(cfg)}_neigs{cfg.neigs}_{cfg.nonlinearity}"
         f"_p{int(cfg.parallel)}_bdd{int(cfg.apply_boundary)}"
         f"_lap{cfg.laplacian_eps}"
+        f"{('_hutch' + str(cfg.laplacian_probes)) if cfg.laplacian_probes else ''}"
         f"_fourier{int(cfg.use_fourier_feature)}"
         f"_{cfg.sampling_mode},scale{cfg.sampling_scales or cfg.sampling_scale}"
         f"{('_mesh' + cfg.mesh) if cfg.mesh else ''}"
