@@ -115,6 +115,15 @@ def main(cfg: PDEConfig):
     if cfg.ndim in (1, 2) and n_particles == 1:
         val_data, val_batches, importance_val = make_val_grid(
             cfg.ndim, cfg.lim, cfg.val_eps, cfg.batch_size)
+    elif cfg.val_mc_size > 0:
+        # meshgrid quadrature explodes past 2D; importance-weighted MC
+        # val set from the training density (fixed across evals)
+        from neuralsvd_tpu.data.samplers import make_val_mc
+
+        val_data, val_batches, importance_val = make_val_mc(
+            cfg.sampling_mode, cfg.val_mc_size, n_particles, cfg.ndim,
+            scale, cfg.batch_size, seed=cfg.seed + 777,
+            sampling_weights=weights)
 
     method_opts = {
         "neuralsvd": vars(cfg.loss.neuralsvd),

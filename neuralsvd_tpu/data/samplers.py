@@ -106,6 +106,32 @@ def get_sampler(sampling_mode: str, batch_size: int, n_particles: int,
     raise NotImplementedError(sampling_mode)
 
 
+def make_val_mc(sampling_mode: str, n_val: int, n_particles: int, ndim: int,
+                sampling_scale, batch_size: int, seed: int = 12345,
+                sampling_weights=None):
+    """Monte-Carlo validation set for dimensions where a meshgrid explodes
+    (ndim > 2 or multi-particle problems — grid size is (2·lim/eps)^D).
+
+    Draws a FIXED set of n_val points from the given sampling density and
+    returns (val_data (n_val, D), batch_iter_factory, importance_val) with
+    ``importance_val`` = that density, so the spectrum eval's w_train/w_val
+    reweighting (methods/spectrum.py::_accumulate_evd_impl) yields unbiased
+    Lebesgue Rayleigh quotients — same estimator as the reference's uniform
+    grid (main_pde.py:120-130), different quadrature.  The set is fixed
+    across evals so eigenvalue traces are comparable run-long.
+    """
+    sample, importance = get_sampler(sampling_mode, n_val, n_particles,
+                                     ndim, sampling_scale,
+                                     sampling_weights=sampling_weights)
+    val_data = np.asarray(sample(jax.random.key(seed)), dtype=np.float32)
+
+    def batches():
+        for i in range(0, len(val_data), batch_size):
+            yield val_data[i:i + batch_size]
+
+    return val_data, batches, importance
+
+
 def make_val_grid(ndim: int, lim: float, val_eps: float, batch_size: int):
     """Meshgrid validation set over [-lim, lim]^ndim with uniform importance.
 

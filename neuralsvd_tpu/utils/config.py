@@ -109,6 +109,10 @@ class PDEConfig:
     sampling_scales: str = ""  # comma list for gaussian_mixture
     sampling_weights: str = ""  # optional comma list of mixture weights
     val_eps: float = 0.1
+    # ndim > 2 / multi-particle: size of the Monte-Carlo val set drawn
+    # from the training density (0 disables eval there; grid is used
+    # for ndim <= 2 single-particle as before)
+    val_mc_size: int = 8192
     # parallelism: "" = single device; "dp" = all local devices on a data
     # -parallel mesh axis; "dp=N" = N devices.  batch_size stays the GLOBAL
     # batch (split across devices; must divide by 2*n_devices to keep the
