@@ -83,6 +83,38 @@ def test_hutchinson_train_step_runs_and_varies(mlp_problem):
     assert float(m1["loss"]) != float(m3["loss"])
 
 
+def test_hutchinson_gspmd_mesh_matches_single_device(tmp_path):
+    """Keyed operators under the GSPMD dp x tp mesh: the global-batch
+    program binds the SAME per-step probe key as single-device, so the
+    run must reproduce it (only XLA reduction order differs).  Also
+    exercises the ndim=3 Monte-Carlo val quadrature under a mesh."""
+    from neuralsvd_tpu.cli.pde import main
+    from neuralsvd_tpu.utils.config import PDEConfig
+
+    def run(mesh, sub):
+        cfg = PDEConfig(
+            log_dir=str(tmp_path / sub), mesh=mesh, seed=1,
+            problem="sch", potential_type="harmonic_oscillator", ndim=3,
+            neigs=2, parallel=True, operator_shift=8.0,
+            laplacian_eps=-1.0, laplacian_probes=2, lim=5.0,
+            mlp_hidden_dims="16,16", nonlinearity="softplus",
+            apply_boundary=False, apply_exp_mask=True,
+            exp_mask_init_scale=5.0, sampling_mode="gaussian",
+            sampling_scale=1.0, val_mc_size=256,
+            batch_size=64, num_iters=200, print_freq=100, eval_freq=200,
+            optimizer="adam", lr=1e-3)
+        return main(cfg)
+
+    ts_single, ev_single, _ = run("", "single")
+    ts_mesh, ev_mesh, _ = run("dp=4,tp=2", "dptp")
+    for a, b in zip(jax.tree.leaves(ts_single.params),
+                    jax.tree.leaves(ts_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ev_single[-1]),
+                               np.asarray(ev_mesh[-1]), rtol=1e-3)
+
+
 def test_hutchinson_cli_config_reaches_operator():
     """laplacian_probes threads cfg -> get_problem -> Hamiltonian."""
     from neuralsvd_tpu.operators.problems import get_problem
