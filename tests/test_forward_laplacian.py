@@ -45,7 +45,12 @@ def test_gaussian_closed_form(rng):
     dict(ndim=2, parallel=True, apply_exp_mask=True,
          exp_mask_init_scale=5.0, apply_boundary=False),
     dict(ndim=3, parallel=False, apply_boundary=False),
-], ids=["hydrogen-features", "box-sqrt-mask", "exp-mask", "3d-shared"])
+    dict(ndim=2, parallel=False, apply_boundary=True,
+         boundary_mode="dir_box_exp", lim=4.0),
+    dict(ndim=2, parallel=False, fourier_deterministic=True,
+         apply_boundary=False),
+], ids=["hydrogen-features", "box-sqrt-mask", "exp-mask", "3d-shared",
+        "box-exp-mask", "deterministic-fourier"])
 def test_matches_nested_jvp_on_wavefunctions(rng, kw):
     init, apply = make_wavefunctions(
         neigs=6, mlp_hidden_dims=[16, 16], nonlinearity="softplus",
