@@ -60,8 +60,13 @@ def _accumulate_evd_impl(f, operator, x, importance_train, importance_val,
         ones = jnp.ones((phi.shape[0], 1), phi.dtype)
         phi = jnp.concatenate([ones, phi], axis=1)
         Tphi = jnp.concatenate([ones, Tphi], axis=1)
-    phi = jnp.nan_to_num(phi)
-    Tphi = jnp.nan_to_num(Tphi)
+    # Non-finite rows are isolated quadrature points where the exact
+    # Laplacian of a cusped feature (|x| envelopes/exp masks at their
+    # center) diverges — zero them like the singular-origin gate below
+    # (measure-zero, unbiased).  nan_to_num's default maps inf to 3.4e38,
+    # which silently poisons the quad accumulator into inf.
+    phi = jnp.nan_to_num(phi, posinf=0.0, neginf=0.0)
+    Tphi = jnp.nan_to_num(Tphi, posinf=0.0, neginf=0.0)
     if getattr(operator, "singular_at_origin", False):
         # zero T(phi) at the singular point x == 0 (Coulomb r=0; reference:
         # methods/spectrum.py:73 — but gated on actual singularity here:

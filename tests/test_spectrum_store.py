@@ -172,3 +172,29 @@ def test_spectrum_report_flags_duplicates_and_refuses_pooling(rng):
     # trace: pooling is refused for any group containing it
     assert rep["rel"].max() > 5.0
     assert rep["rel_grouped"].max() > 1.0
+
+
+def test_cusp_point_nonfinite_rows_zeroed_not_inf():
+    """A |x|-cusped eigenfunction feature (exp masks / envelopes) has a
+    non-finite exact Laplacian at its center; on a SMOOTH potential the
+    singular-origin gate does not fire, and nan_to_num's default used to
+    map inf to 3.4e38, silently poisoning the quad accumulator into inf
+    (found via a harmonic-oscillator + exp-mask miniature, round 3).
+    Those isolated quadrature points must be zeroed instead."""
+    from neuralsvd_tpu.methods.spectrum import compute_spectrum_evd
+
+    class CuspOperator:
+        def __call__(self, f, x, importance=None):
+            fs = f(x)
+            r = jnp.linalg.norm(x, axis=1, keepdims=True)
+            return fs / r, fs  # diverges (inf/nan) exactly at x == 0
+
+    # grid containing the exact origin, like make_val_grid's arange
+    xs = np.stack(np.meshgrid(np.arange(-1, 1, 0.5),
+                              np.arange(-1, 1, 0.5)), -1).reshape(-1, 2)
+    assert (np.abs(xs).sum(1) == 0).any()
+    f = lambda x: jnp.stack([jnp.exp(-jnp.linalg.norm(x, axis=1)),
+                             jnp.ones(x.shape[0])], 1)
+    out = compute_spectrum_evd(f, [xs.astype(np.float32)], CuspOperator())
+    assert np.isfinite(np.asarray(out["quad"])).all()
+    assert np.isfinite(np.asarray(out["eigvals"])).all()
