@@ -145,6 +145,19 @@ def main(cfg: PDEConfig):
         rmsprop_decay=cfg.rmsprop_decay, adam_eps=cfg.adam_eps,
         lr_schedule=lr_schedule,
         spike_reject_factor=cfg.spike_reject_factor)
+    if cfg.tail_lr_boost != 1.0:
+        # per-mode LR on the slow truncation-edge towers; safe under
+        # sequential nesting (prefix independence — BASELINE
+        # "Guard-mode mechanics", tests/test_guard_invariance.py)
+        import optax
+
+        from neuralsvd_tpu.training.optimizers import per_mode_lr
+
+        scales = np.where(np.arange(cfg.neigs) >= cfg.tail_lr_start,
+                          cfg.tail_lr_boost, 1.0).astype(np.float32)
+        optimizer = optax.chain(optimizer, per_mode_lr(scales, cfg.neigs))
+        log.info("tail LR boost %.2fx from mode %d", cfg.tail_lr_boost,
+                 cfg.tail_lr_start)
 
     logger = CSVLogger(log_dir, ["iter", "train_loss", "time",
                                  "steps_per_sec"])

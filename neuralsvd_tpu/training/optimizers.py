@@ -127,6 +127,38 @@ def reject_spikes(factor: float = 25.0, decay: float = 0.99,
     return optax.GradientTransformation(init, update)
 
 
+def per_mode_lr(scales, neigs: int) -> optax.GradientTransformation:
+    """Scale final UPDATES per eigenfunction tower (ParallelMLP leaves
+    lead with the mode axis; (L,) leaves like exp-mask scales included).
+
+    Appended AFTER the base optimizer so it acts as a per-mode learning
+    rate for ANY optimizer (pre-scaling gradients would be a no-op under
+    Adam/RMSprop normalization).  Motivated by the sequential-nesting
+    prefix independence (BASELINE "Guard-mode mechanics",
+    tests/test_guard_invariance.py): mode k's dynamics depend only on
+    modes <= k, so boosting the slow truncation-edge towers cannot
+    perturb converged earlier modes.  No reference counterpart.
+    """
+    scales = jnp.asarray(scales, jnp.float32)
+    assert scales.shape == (neigs,)
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def f(u):
+            if hasattr(u, "ndim") and u.ndim >= 1 and u.shape[0] == neigs:
+                return u * scales.reshape((neigs,) + (1,) * (u.ndim - 1))
+            return u
+
+        return jax.tree.map(f, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def lars(learning_rate, weight_decay: float = 0.0, momentum: float = 0.9,
          trust_coefficient: float = 0.001):
     """Layer-wise adaptive rate scaling (reference: cdk/optimizers.py:92-213)."""

@@ -61,6 +61,11 @@ class PDEConfig:
     use_lr_scheduler: bool = False
     ema_decay: float = 0.99
     grad_clip: float = 0.0
+    # per-mode LR boost for the slow truncation-edge towers (sequential
+    # nesting: provably cannot perturb earlier modes — see
+    # tests/test_guard_invariance.py); 1.0 = off
+    tail_lr_boost: float = 1.0
+    tail_lr_start: int = 0
     spike_reject_factor: float = 0.0  # >0: reject gnorm > k x EMA steps
     # problem
     problem: str = "sch"          # sch | fp

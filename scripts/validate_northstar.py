@@ -27,6 +27,10 @@ Round-3 levers:
   NS_EVAL_TOP (which must close a shell).  Edge modes converge slowest;
   guards make every reported shell interior.
 - NS_LR: cosine-annealing peak LR (default 1e-4, reference hydrogen.sh).
+- NS_TAIL_LR / NS_TAIL_LR_START: per-mode LR boost for the truncation
+  -edge towers (default off / mode 25 = the n=5 shell at L=36).  Safe
+  under sequential nesting: prefix independence means earlier modes are
+  provably untouched (tests/test_guard_invariance.py).
 
 Usage: python scripts/validate_northstar.py [num_iters] [lap_eps]
 (default 300000, 0.1; lap_eps <= 0 selects the exact Laplacian)
@@ -119,6 +123,8 @@ else:
 CHUNK = int(os.environ.get("NS_CHUNK", "1000"))
 EVAL_ROUNDS = int(os.environ.get("NS_EVAL_ROUNDS", "64"))
 LR = float(os.environ.get("NS_LR", "1e-4"))  # cosine peak (ref hydrogen.sh)
+TAIL_LR = float(os.environ.get("NS_TAIL_LR", "1"))  # per-mode tail boost
+TAIL_LR_START = int(os.environ.get("NS_TAIL_LR_START", "25"))  # n=5 shell
 # Dead/duplicate-mode rescue (training/rescue.py): periodic diagnosis on
 # the raw params; spurious modes are exiled to the tail slots and
 # re-initialized while the cosine LR is still healthy.  The L=36 collapse
@@ -206,6 +212,20 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
     params = init(jax.random.key(0))
     method = NestedLoRA(apply, neigs=NEIGS, sequential=SEQUENTIAL)
     opt = torch_rmsprop(cosine_annealing(LR, num_iters), alpha=0.999)
+    if TAIL_LR != 1.0:
+        # per-mode LR on the slow truncation-edge towers — provably
+        # cannot perturb earlier modes under sequential nesting
+        # (tests/test_guard_invariance.py); miniature: 3x boost cut the
+        # edge-mode rel-err 15x (BASELINE "Guard-mode mechanics")
+        import optax
+
+        from neuralsvd_tpu.training.optimizers import per_mode_lr
+
+        scales = np.where(np.arange(NEIGS) >= TAIL_LR_START, TAIL_LR,
+                          1.0).astype(np.float32)
+        opt = optax.chain(opt, per_mode_lr(scales, NEIGS))
+        print(f"tail LR boost {TAIL_LR}x from mode {TAIL_LR_START}",
+              flush=True)
 
     step_fn = make_scanned_train_step(
         method, operator, opt, sampler, importance=importance,
@@ -343,7 +363,8 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
                    "radial": RADIAL, "exp_mask": EXP_MASK,
                    "batch": BATCH, "lap_eps": lap_eps,
                    "rescue": RESCUE, "bf16": BF16, "prec": PREC or None,
-                   "neigs_trained": NEIGS, "eval_top": EVAL_TOP, "lr": LR},
+                   "neigs_trained": NEIGS, "eval_top": EVAL_TOP, "lr": LR,
+                   "tail_lr": TAIL_LR, "tail_lr_start": TAIL_LR_START},
     }))
 
 

@@ -364,3 +364,33 @@ def test_load_resumable_missing_returns_none(tmp_path):
     from neuralsvd_tpu.training.checkpoint import load_resumable
 
     assert load_resumable(str(tmp_path / "nope"), None) is None
+
+
+def test_per_mode_lr_scales_updates_not_grads():
+    """per_mode_lr acts on final updates, so it is a true per-mode LR
+    under Adam (gradient pre-scaling would be erased by the second-moment
+    normalization); non-mode leaves pass through untouched."""
+    import optax
+
+    from neuralsvd_tpu.training.optimizers import per_mode_lr
+
+    L = 4
+    params = {"tower": jnp.ones((L, 3, 2)), "mask": jnp.ones((L,)),
+              "shared": jnp.ones((7,))}
+    grads = jax.tree.map(jnp.ones_like, params)
+    scales = jnp.asarray([1.0, 1.0, 3.0, 0.5])
+
+    base = optax.chain(optax.scale_by_adam(), optax.scale(-1e-2))
+    boosted = optax.chain(base, per_mode_lr(scales, L))
+    s0, s1 = base.init(params), boosted.init(params)
+    u0, _ = base.update(grads, s0, params)
+    u1, _ = boosted.update(grads, s1, params)
+    np.testing.assert_allclose(np.asarray(u1["shared"]),
+                               np.asarray(u0["shared"]))
+    np.testing.assert_allclose(
+        np.asarray(u1["tower"]),
+        np.asarray(u0["tower"]) * np.asarray(scales)[:, None, None],
+        rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(u1["mask"]),
+                               np.asarray(u0["mask"]) * np.asarray(scales),
+                               rtol=1e-6)
