@@ -351,3 +351,43 @@ def test_clone_perturb_rescue_and_grace(wf):
     ts4, info4 = rescue_modes(ts, init, jax.random.key(5), cov_d, quad_d,
                               L, clone_healthy_tail=True, grace_slots=[3])
     assert info4["n_spurious"] == 1
+
+
+def test_rescue_with_chained_per_mode_lr_optimizer():
+    """The L=36 gate config chains torch_rmsprop with per_mode_lr
+    (NS_TAIL_LR); rescue's structural opt-state surgery (permute/clone/
+    zero any leaf with a leading mode axis) must traverse the chained
+    state and the rescued TrainState must still step."""
+    import optax
+
+    from neuralsvd_tpu.methods.nestedlora import NestedLoRA
+    from neuralsvd_tpu.models import make_wavefunctions
+    from neuralsvd_tpu.training.optimizers import per_mode_lr, torch_rmsprop
+    from neuralsvd_tpu.training.train_state import init_train_state
+
+    L = 6
+    init, apply = make_wavefunctions(
+        ndim=2, neigs=L, mlp_hidden_dims=[8, 8], nonlinearity="softplus",
+        parallel=True, apply_boundary=False, apply_exp_mask=True,
+        exp_mask_init_scale=5.0, lim=4.0)
+    params = init(jax.random.key(0))
+    method = NestedLoRA(apply, neigs=L, sequential=True)
+    scales = np.where(np.arange(L) >= 4, 3.0, 1.0).astype(np.float32)
+    opt = optax.chain(torch_rmsprop(1e-4, alpha=0.999),
+                      per_mode_lr(scales, L))
+    ts = init_train_state(params, opt, method)
+
+    cov = np.eye(L)
+    cov[5, 5] = 1e-8
+    cov[0, 5] = cov[5, 0] = 9.9e-5  # tiny duplicate of mode 0
+    quad = np.diag([10.0, 8.0, 6.0, 5.0, 4.0, 1e-7])
+    new_ts, info = rescue_modes(ts, init, jax.random.key(1), cov, quad, L,
+                                clone_healthy_tail=True)
+    assert info["n_spurious"] >= 1
+
+    x = jax.random.normal(jax.random.key(2), (16, 2))
+    _, grads, _, _ = method.loss_and_grad(
+        new_ts.params, new_ts.method_state, x,
+        lambda f, xx, importance=None: (f(xx), f(xx)))
+    updates, _ = opt.update(grads, new_ts.opt_state, new_ts.params)
+    assert all(bool(jnp.isfinite(u).all()) for u in jax.tree.leaves(updates))
