@@ -149,6 +149,12 @@ def main(cfg: PDEConfig):
         # per-mode LR on the slow truncation-edge towers; safe under
         # sequential nesting (prefix independence — BASELINE
         # "Guard-mode mechanics", tests/test_guard_invariance.py)
+        if not cfg.parallel:
+            # per_mode_lr matches leaves structurally by leading mode
+            # axis; a shared trunk has no such leaves, and a hidden
+            # width == neigs would collide with the heuristic
+            raise ValueError("--tail_lr_boost requires --parallel true "
+                             "(per-mode towers)")
         import optax
 
         from neuralsvd_tpu.training.optimizers import per_mode_lr
