@@ -76,3 +76,22 @@ def test_cli_pde_high_d_eval_records_eigvals(tmp_path):
     _, all_eigvals, _ = main(cfg)
     assert len(all_eigvals) >= 1
     assert np.isfinite(np.asarray(all_eigvals[-1])).all()
+
+
+def test_val_mc_mixture_and_multi_particle_shapes():
+    """The hydrogen eval case (gaussian_mixture scales) and the QC case
+    (n_particles > 1) both produce correctly shaped fixed val sets with
+    the true sampling density as importance."""
+    data, batches, imp = make_val_mc(
+        "gaussian_mixture", 64, 1, 2, (0.5, 2.0, 6.0), 32, seed=5)
+    assert data.shape == (64, 2)
+    w = np.asarray(imp(jnp.asarray(data[:8])))
+    assert w.shape == (8, 1) and (w > 0).all()
+    # mixture density at the origin: sum_k (1/3) N(0; s_k)
+    w0 = np.asarray(imp(jnp.zeros((1, 2))))[0, 0]
+    expect = np.mean([1 / (2 * np.pi * s ** 2) for s in (0.5, 2.0, 6.0)])
+    np.testing.assert_allclose(w0, expect, rtol=1e-5)
+
+    data2, _, imp2 = make_val_mc("gaussian", 16, 2, 2, 1.0, 8, seed=6)
+    assert data2.shape == (16, 4)  # n_particles * ndim columns
+    assert np.asarray(imp2(jnp.asarray(data2))).shape == (16, 1)
