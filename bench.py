@@ -281,16 +281,49 @@ def _run_with_retries():
             err = (proc.stderr or proc.stdout)[-500:]
         except subprocess.TimeoutExpired:
             err = "inner bench timed out (3600s)"
-    print(json.dumps({
-        "metric": "hydrogen2d_L16_bs512_E4_parallelmlp_train_steps_per_sec",
-        "value": 268.9,
-        "unit": "steps/sec",
-        "vs_baseline": 6406.0,
-        "cached_from": "log/r3/bench_sanity.log (2026-08-17, 1x v5e) — "
-                       "LIVE RUN FAILED, value is the last recorded TPU "
-                       "measurement of the same config",
+    print(json.dumps(_cached_result(err)))
+
+
+_CACHE_LOG = "log/r3/bench_sanity.log"
+
+
+def _cached_result(err):
+    """Last recorded live TPU measurement, parsed from the bench log at
+    runtime — NEVER a hard-coded constant (ADVICE r3: a literal silently
+    goes stale when the config changes, and a consumer parsing only
+    metric/value gets a fabricated number).  The metric is renamed with a
+    `_cached` suffix so no consumer can mistake it for a live run; if the
+    log is absent or unparsable this fails loudly with value=None."""
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    cached = None
+    try:
+        with open(os.path.join(here, _CACHE_LOG)) as f:
+            for ln in f:
+                if ln.startswith("{") and '"metric"' in ln:
+                    rec = json.loads(ln)
+                    if rec.get("unit") == "steps/sec":
+                        cached = rec  # keep the LAST recorded measurement
+    except OSError:
+        pass
+    if cached is None:
+        return {
+            "metric": "hydrogen2d_L16_bs512_E4_parallelmlp_"
+                      "train_steps_per_sec_cached",
+            "value": None, "unit": "steps/sec", "vs_baseline": None,
+            "live_run_error": err,
+            "cache_error": f"no cached measurement found in {_CACHE_LOG}",
+        }
+    return {
+        "metric": cached["metric"] + "_cached",
+        "value": cached["value"],
+        "unit": cached["unit"],
+        "vs_baseline": cached.get("vs_baseline"),
+        "cached_from": f"{_CACHE_LOG} (2026-08-17, 1x v5e) — LIVE RUN "
+                       "FAILED, value is the last recorded TPU measurement "
+                       "of the same config",
         "live_run_error": err,
-    }))
+    }
 
 
 if __name__ == "__main__":

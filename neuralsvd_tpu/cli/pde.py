@@ -157,8 +157,12 @@ def main(cfg: PDEConfig):
                              "(per-mode towers)")
         import optax
 
-        from neuralsvd_tpu.training.optimizers import per_mode_lr
+        from neuralsvd_tpu.training.optimizers import (
+            assert_mode_axis_unambiguous, per_mode_lr)
 
+        # shape-collision guard (ADVICE r3): the leading-axis==neigs
+        # heuristic is only exact when EVERY leaf is a per-mode stack
+        assert_mode_axis_unambiguous(params, cfg.neigs)
         scales = np.where(np.arange(cfg.neigs) >= cfg.tail_lr_start,
                           cfg.tail_lr_boost, 1.0).astype(np.float32)
         optimizer = optax.chain(optimizer, per_mode_lr(scales, cfg.neigs))
@@ -191,6 +195,12 @@ def main(cfg: PDEConfig):
             new_state = method.refresh_weights(
                 ts.params, ts.method_state, x, operator, importance_train)
             return ts._replace(method_state=new_state)
+
+    if cfg.rescue:
+        # rescue surgery uses the same leading-axis==neigs leaf heuristic
+        from neuralsvd_tpu.training.optimizers import \
+            assert_mode_axis_unambiguous
+        assert_mode_axis_unambiguous(params, cfg.neigs)
 
     ts, all_eigvals, all_norms = train_operator(
         method, operator, sample, optimizer, params,

@@ -358,14 +358,22 @@ def spectrum_report(cov, quad, gt_sorted, group_sizes, top: int = 0,
     assert int(np.sum(group_sizes)) == top, (group_sizes, top)
 
     ray_full = np.diag(quad) / np.diag(cov)
-    order = np.argsort(ray_full)[::-1]
-    sel = order[:top]
-    rayleigh = np.sort(ray_full[sel])[::-1]
-    rel = np.abs(rayleigh - gt_sorted) / np.abs(gt_sorted)
-
     covn = cov / np.sqrt(np.outer(np.diag(cov), np.diag(cov)))
     max_off = float(np.nan_to_num(np.abs(covn - np.eye(L)), nan=1.0).max())
     health = mode_health(cov, quad, corr_thresh=corr_thresh)
+
+    # Top-k selection must be collapse-aware (ADVICE r3): a dead mode's 0/0
+    # Rayleigh is NaN, which raw argsort places last ascending — i.e. FIRST
+    # after the reversal — exiling a healthy mode to the guards.  Rank
+    # healthy modes first (by sanitized Rayleigh, descending); unhealthy
+    # modes are eligible only if fewer than ``top`` healthy modes exist.
+    ray_sane = np.nan_to_num(ray_full, nan=-np.inf,
+                             posinf=-np.inf, neginf=-np.inf)
+    order = np.lexsort((-ray_sane, ~health["healthy"]))
+    sel = order[:top]
+    sel = sel[np.argsort(-ray_sane[sel])]  # NaN/spurious last within top-k
+    rayleigh = ray_full[sel]
+    rel = np.abs(rayleigh - gt_sorted) / np.abs(gt_sorted)
 
     grouped = grouped_rayleigh(np.diag(quad)[sel], np.diag(cov)[sel],
                                group_sizes, cov=cov[np.ix_(sel, sel)],
@@ -385,6 +393,6 @@ def spectrum_report(cov, quad, gt_sorted, group_sizes, top: int = 0,
         "aligned": aligned, "rel_aligned": rel_aligned,
         "max_off_corr": max_off, "health": health,
         "n_spurious": int((~health["healthy"]).sum()),
-        "guards": np.sort(ray_full)[::-1][top:],
+        "guards": ray_full[order[top:]],
         "report": format_mode_health(health),
     }

@@ -127,6 +127,34 @@ def reject_spikes(factor: float = 25.0, decay: float = 0.99,
     return optax.GradientTransformation(init, update)
 
 
+def assert_mode_axis_unambiguous(params, neigs: int) -> None:
+    """Refuse per-mode tree surgery when the mode-axis heuristic is unsafe.
+
+    :func:`per_mode_lr` and the rescue tree ops (training/rescue.py)
+    identify per-mode leaves purely by ``leaf.shape[0] == neigs``.  That is
+    exact iff EVERY leaf in the pytree is a per-mode stack leading with the
+    mode axis — the ParallelMLP wavefunction contract (ws/bs stacked
+    ``(L, ...)``, mask scales ``(L,)``; the Fourier map is a fixed buffer,
+    not a param).  A shared leaf whose leading dim merely *equals* neigs
+    (e.g. neigs=128 with a learnable 128-row feature map) would be silently
+    scaled/permuted as if it were per-mode (ADVICE r3).  Construction-time
+    check: every param leaf must lead with the mode axis; anything else is
+    named and rejected before it can corrupt a run.
+    """
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    for path, leaf in tree_flatten_with_path(params)[0]:
+        shape = getattr(leaf, "shape", ())
+        if len(shape) < 1 or shape[0] != neigs:
+            raise ValueError(
+                f"per-mode tree surgery (tail_lr_boost / rescue) requires "
+                f"every param leaf to lead with the mode axis (neigs="
+                f"{neigs}); leaf {keystr(path)} has shape {shape}. Shared "
+                f"leaves make the shape[0]==neigs heuristic ambiguous — "
+                f"use per-mode towers (parallel=True) without shared "
+                f"learnable features.")
+
+
 def per_mode_lr(scales, neigs: int) -> optax.GradientTransformation:
     """Scale final UPDATES per eigenfunction tower (ParallelMLP leaves
     lead with the mode axis; (L,) leaves like exp-mask scales included).

@@ -194,6 +194,10 @@ def rescue_modes(ts: TrainState, init_fn: Callable, key, cov, quad,
     ema = tree_permute_modes(ts.ema_params, perm)
     opt_state = tree_permute_modes(ts.opt_state, perm)
     tail_idx = np.arange(neigs - n_bad, neigs)
+    # clone rescue needs at least one healthy source; with EVERY mode
+    # diagnosed spurious (a NaN-blown run) n_src would be 0 and the slot
+    # cycling below divides by it (ADVICE r3) — fall back to fresh inits
+    clone_healthy_tail = clone_healthy_tail and n_bad < neigs
     if clone_healthy_tail:
         # clone the K smallest-eigenvalue healthy modes (spectrally
         # adjacent to the free directions), cycled over the tail slots
@@ -212,7 +216,7 @@ def rescue_modes(ts: TrainState, init_fn: Callable, key, cov, quad,
         fresh = init_fn(key)
         params = _tree_splice_tail(params, fresh, neigs, n_bad)
         opt_state = _tree_zero_tail(opt_state, neigs, n_bad)
-    if measure_norms is not None and scale_fn is not None:
+    if measure_norms is not None and scale_fn is not None and n_bad < neigs:
         norms_now = np.asarray(measure_norms(params))
         if clone_healthy_tail:
             # per-slot target: a fraction of the clone SOURCE's norm (the

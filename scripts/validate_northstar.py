@@ -32,6 +32,16 @@ Round-3 levers:
   under sequential nesting: prefix independence means earlier modes are
   provably untouched (tests/test_guard_invariance.py).
 
+Round-4 levers:
+- NS_METHOD: nestedlora (default) | spin | neuralef — the competing
+  methods through the IDENTICAL sampler/model/eval harness (VERDICT r3
+  item 5: the reference's multi-method hydrogen figure, README.md:36-42).
+  SpIN carries an (L, L, P) Jacobian EMA, so NS_PARALLEL=0 + a smaller
+  NS_FMAP is the practical budget scaling for it; rescue/tail-LR are
+  NestedLoRA-only levers and are refused for other methods.
+- NS_PARALLEL: per-mode towers (default 1).  NS_FMAP: Fourier mapping
+  size (default 1024).
+
 Usage: python scripts/validate_northstar.py [num_iters] [lap_eps]
 (default 300000, 0.1; lap_eps <= 0 selects the exact Laplacian)
 """
@@ -94,6 +104,9 @@ assert EVAL_TOP in _shell_cum, (
     f"shell ({'1, 4, 9, 16, 25, 36' if NDIM == 2 else '1, 5, 14, 30'}…)")
 assert EVAL_TOP <= NEIGS
 SEQUENTIAL = os.environ.get("NS_SEQ", "1") == "1"
+METHOD = os.environ.get("NS_METHOD", "nestedlora")
+PARALLEL = os.environ.get("NS_PARALLEL", "1") == "1"
+FMAP = int(os.environ.get("NS_FMAP", "1024"))
 BATCH = int(os.environ.get("NS_BATCH", "512"))
 SCALE = 16.0     # widest gaussian scale (reference hydrogen.sh)
 LAP_EPS = 0.1    # FD; f32-safe (see verify skill); <= 0 for exact autodiff
@@ -188,9 +201,9 @@ def build_model(lap_eps=LAP_EPS):
     sampler, importance = make_sampling(BATCH)
     init, apply = make_wavefunctions(
         ndim=NDIM, neigs=NEIGS, mlp_hidden_dims=[128, 128, 128],
-        nonlinearity="softplus", parallel=True,
+        nonlinearity="softplus", parallel=PARALLEL,
         use_fourier_feature=True,
-        fourier_mapping_size=1024, fourier_scale=0.1,
+        fourier_mapping_size=FMAP, fourier_scale=0.1,
         fourier_append_radial=RADIAL,
         fourier_append_envelopes=ENVELOPES,
         apply_boundary=False, apply_exp_mask=EXP_MASK,
@@ -210,7 +223,20 @@ def build_model(lap_eps=LAP_EPS):
 def main(num_iters=300_000, lap_eps=LAP_EPS):
     operator, gt, sampler, importance, init, apply = build_model(lap_eps)
     params = init(jax.random.key(0))
-    method = NestedLoRA(apply, neigs=NEIGS, sequential=SEQUENTIAL)
+    if METHOD == "nestedlora":
+        method = NestedLoRA(apply, neigs=NEIGS, sequential=SEQUENTIAL)
+    else:
+        # competing methods through the identical harness (VERDICT r3
+        # item 5); rescue/tail-LR are NestedLoRA-specific levers
+        assert not RESCUE and TAIL_LR == 1.0, (
+            "NS_RESCUE / NS_TAIL_LR are NestedLoRA-only levers")
+        from neuralsvd_tpu.methods.factories import get_evd_method
+
+        opts = {"spin": dict(decay=float(
+                    os.environ.get("NS_SPIN_DECAY", "0.05"))),
+                "neuralef": dict(unbiased=True,
+                                 batchnorm_mode="unbiased")}[METHOD]
+        method = get_evd_method(METHOD, apply, NEIGS, **opts)
     opt = torch_rmsprop(cosine_annealing(LR, num_iters), alpha=0.999)
     if TAIL_LR != 1.0:
         # per-mode LR on the slow truncation-edge towers — provably
@@ -244,17 +270,24 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
     eval_sampler, _ = make_sampling(8192)
 
     @jax.jit
-    def accum(params, key):
+    def accum(params, method_state, key):
         x = eval_sampler(key)
-        Tf, f = operator(lambda xx: apply(params, xx), x, importance)
+        # method-aware eval map: SpIN orthonormalizes via its stored
+        # Cholesky, NeuralEF applies its batch-norm state; for NestedLoRA
+        # this is plain apply (methods/*.py eval_apply contract)
+        Tf, f = operator(lambda xx: method.eval_apply(params, method_state,
+                                                      xx), x, importance)
         cov = jnp.einsum("bl,bm->lm", f, f)
         quad = jnp.einsum("bl,bm->lm", f, Tf)
         return cov, quad
 
-    def accum_rounds(params, rounds, seed=3):
+    def accum_rounds(params, rounds, seed=3, method_state=None):
+        if method_state is None:
+            method_state = ts.method_state
         cov = quad = 0.0
         for r in range(rounds):
-            c, q = accum(params, jax.random.fold_in(jax.random.key(seed), r))
+            c, q = accum(params, method_state,
+                         jax.random.fold_in(jax.random.key(seed), r))
             cov, quad = cov + c, quad + q
         return np.asarray(cov), np.asarray(quad)
 
@@ -343,7 +376,9 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
     (rel, rel_grouped, rel_aligned, max_off,
      health) = spectrum_of(ts.ema_params, "ema")
     print(json.dumps({
-        "metric": f"hydrogen{NDIM}d_L{EVAL_TOP}_eigval_max_rel_err_grouped",
+        "metric": (f"hydrogen{NDIM}d_L{EVAL_TOP}_eigval_max_rel_err_grouped"
+                   + ("" if METHOD == "nestedlora" else f"_{METHOD}")),
+        "method": METHOD,
         "value": float(rel_grouped.max()),
         "max_rel_err_sorted": float(rel.max()),
         "median_rel_err": float(np.median(rel)),
@@ -364,7 +399,8 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
                    "batch": BATCH, "lap_eps": lap_eps,
                    "rescue": RESCUE, "bf16": BF16, "prec": PREC or None,
                    "neigs_trained": NEIGS, "eval_top": EVAL_TOP, "lr": LR,
-                   "tail_lr": TAIL_LR, "tail_lr_start": TAIL_LR_START},
+                   "tail_lr": TAIL_LR, "tail_lr_start": TAIL_LR_START,
+                   "parallel": PARALLEL, "fourier_mapping_size": FMAP},
     }))
 
 

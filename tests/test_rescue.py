@@ -208,6 +208,30 @@ def test_rescue_noop_when_healthy(wf):
     assert ts2 is ts
 
 
+def test_rescue_all_modes_spurious_no_crash(wf):
+    """ADVICE r3: clone_healthy_tail=True with EVERY mode spurious
+    (all-zero accumulators — a NaN-blown run) made n_src = 0 and crashed
+    with ZeroDivisionError inside the rescue path.  Must fall back to the
+    fresh-init splice and return a usable state."""
+    init, apply = wf
+    ts = _make_ts(init)
+    cov = np.zeros((L, L))
+    quad = np.zeros((L, L))
+    ts2, info = rescue_modes(
+        ts, init, jax.random.key(7), cov, quad, L,
+        clone_healthy_tail=True,
+        measure_norms=lambda p: np.ones(L),
+        scale_fn=lambda p, idx, f: p)
+    assert info["n_spurious"] == L
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((8, 2)),
+                    jnp.float32)
+    out = np.asarray(apply(ts2.params, x))
+    assert np.isfinite(out).all()
+    # fresh-init fallback: optimizer moments zeroed on every slot
+    nu = ts2.opt_state[0].nu["base"]["ws"][0]
+    assert float(jnp.abs(nu).max()) == 0.0
+
+
 def test_rescue_plan_orders_healthy_by_rayleigh():
     health = {
         "healthy": np.array([True, False, True, True]),

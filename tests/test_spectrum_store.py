@@ -174,6 +174,39 @@ def test_spectrum_report_flags_duplicates_and_refuses_pooling(rng):
     assert rep["rel_grouped"].max() > 1.0
 
 
+def test_spectrum_report_nan_mode_never_enters_topk():
+    """ADVICE r3 (medium): a dead mode with an exact 0/0 accumulator yields
+    a NaN Rayleigh, which raw argsort places FIRST after the descending
+    reversal — exiling a healthy mode to the guards and shifting every
+    ground-truth comparison.  With cov=diag(1,1,1,0), quad=diag(5,3,2,0),
+    top=3 the report must be [5, 3, 2], NOT [nan, 5, 3]."""
+    from neuralsvd_tpu.methods.spectrum import spectrum_report
+
+    cov = np.diag([1.0, 1.0, 1.0, 0.0])
+    quad = np.diag([5.0, 3.0, 2.0, 0.0])
+    gt = np.array([5.0, 3.0, 2.0])
+    rep = spectrum_report(cov, quad, gt, group_sizes=[1, 1, 1], top=3)
+    np.testing.assert_allclose(rep["rayleigh"], [5.0, 3.0, 2.0])
+    assert rep["rel"].max() < 1e-12
+    assert rep["n_spurious"] == 1  # the dead mode is still diagnosed
+    # and it lands in the guards, where NaN is visible but harmless
+    assert len(rep["guards"]) == 1 and not np.isfinite(rep["guards"][0])
+
+
+def test_spectrum_report_unhealthy_fallback_when_too_few_healthy():
+    """If fewer than ``top`` healthy modes exist, spurious modes fill the
+    tail of the top-k (sanitized last), never displacing a healthy one."""
+    from neuralsvd_tpu.methods.spectrum import spectrum_report
+
+    cov = np.diag([1.0, 1.0, 0.0])
+    quad = np.diag([5.0, 3.0, 0.0])
+    gt = np.array([5.0, 3.0, 1.0])
+    rep = spectrum_report(cov, quad, gt, group_sizes=[1, 1, 1], top=3)
+    np.testing.assert_allclose(rep["rayleigh"][:2], [5.0, 3.0])
+    assert np.isnan(rep["rayleigh"][2])
+    assert rep["n_spurious"] == 1
+
+
 def test_cusp_point_nonfinite_rows_zeroed_not_inf():
     """A |x|-cusped eigenfunction feature (exp masks / envelopes) has a
     non-finite exact Laplacian at its center; on a SMOOTH potential the

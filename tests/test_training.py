@@ -394,3 +394,42 @@ def test_per_mode_lr_scales_updates_not_grads():
     np.testing.assert_allclose(np.asarray(u1["mask"]),
                                np.asarray(u0["mask"]) * np.asarray(scales),
                                rtol=1e-6)
+
+
+def test_mode_axis_collision_guard():
+    """ADVICE r3: a shared leaf whose leading dim happens to equal neigs
+    (e.g. neigs=128 with a 128-row learnable feature map) would be
+    silently scaled/permuted by the shape[0]==neigs heuristic.  The
+    construction-time guard must name the offending leaf; an all-per-mode
+    pytree (the ParallelMLP wavefunction contract) must pass."""
+    import pytest
+
+    from neuralsvd_tpu.training.optimizers import \
+        assert_mode_axis_unambiguous
+
+    L = 4
+    clean = {"base": {"ws": [jnp.ones((L, 3, 2)), jnp.ones((L, 1, 3))],
+                      "bs": [jnp.ones((L, 3, 1))]},
+             "mask": {"scales": jnp.ones((L,))}}
+    assert_mode_axis_unambiguous(clean, L)  # must not raise
+
+    # a shared-leaf collision (shape (L, ...)) is undetectable at the leaf
+    # level, so the guard enforces the stricter contract: NO shared leaves
+    # at all.  Any leaf not leading with the mode axis is named + rejected.
+    with pytest.raises(ValueError, match="feature_map"):
+        assert_mode_axis_unambiguous(
+            {**clean, "feature_map": jnp.ones((7, 2))}, L)
+    with pytest.raises(ValueError, match="mode axis"):
+        assert_mode_axis_unambiguous(
+            {**clean, "feature_map": jnp.ones((2, L))}, L)
+    with pytest.raises(ValueError):  # scalar leaf
+        assert_mode_axis_unambiguous({**clean, "t": jnp.ones(())}, L)
+
+    # the flagship wavefunction params must satisfy the contract
+    from neuralsvd_tpu.models import make_wavefunctions
+    init, _ = make_wavefunctions(
+        ndim=2, neigs=L, mlp_hidden_dims=[8, 8], nonlinearity="softplus",
+        parallel=True, use_fourier_feature=True, fourier_mapping_size=16,
+        fourier_scale=0.1, apply_exp_mask=True, apply_boundary=False,
+        boundary_mode="none")
+    assert_mode_axis_unambiguous(init(jax.random.key(0)), L)
