@@ -88,27 +88,79 @@ def fd_fp_spectrum_2d(cs=(1.0, 1.0), n=48, k=6):
     return np.sort(ev.real)[::-1]
 
 
-def train_fp(ndim, neigs, iters, shift, seed=0):
-    """Reference FP protocol through the shipped CLI (cli/pde.py main)."""
-    from neuralsvd_tpu.cli.pde import main
-    from neuralsvd_tpu.utils.config import PDEConfig
+def fd_fp_spectrum_2d_rich(cs=(1.0, 1.0), k=6):
+    """Richardson-extrapolated 2D FD spectrum (second-order stencils:
+    lambda(h) = lambda + C h^2; two grids kill the leading error term)."""
+    n1, n2 = 64, 96
+    e1 = fd_fp_spectrum_2d(cs, n=n1, k=k)
+    e2 = fd_fp_spectrum_2d(cs, n=n2, k=k)
+    r = (n2 / n1) ** 2
+    return (r * e2 - e1) / (r - 1)
 
-    cfg = PDEConfig(
-        log_dir=os.path.join(OUT, f"fp{ndim}d"), overwrite=True, seed=seed,
-        problem="fp", ndim=ndim, neigs=neigs,
-        operator_scale=1.0, operator_shift=shift, laplacian_eps=-1.0,
-        lim=float(np.pi),
-        mlp_hidden_dims="64,64,64", nonlinearity="softplus", parallel=True,
+
+def train_fp(ndim, neigs, iters, shift, group_sizes, gt_shifted, seed=0):
+    """Reference FP protocol (problems.py:96-119: torus, deterministic
+    Fourier features, uniform sampling, no boundary) through the shipped
+    stack; collapse-/degeneracy-aware eval via spectrum_report."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "float32")
+
+    from neuralsvd_tpu.methods.nestedlora import NestedLoRA
+    from neuralsvd_tpu.methods.spectrum import spectrum_report
+    from neuralsvd_tpu.models import make_wavefunctions
+    from neuralsvd_tpu.operators.problems import get_problem
+    from neuralsvd_tpu.training.optimizers import (build_optimizer,
+                                                   cosine_annealing)
+    from neuralsvd_tpu.training.train_operator import make_scanned_train_step
+    from neuralsvd_tpu.training.train_state import init_train_state
+
+    operator, _, _ = get_problem(
+        problem="fp", ndim=ndim, neigs=neigs, laplacian_eps=-1.0,
+        operator_scale=1.0, operator_shift=shift)
+    init, apply = make_wavefunctions(
+        ndim=ndim, neigs=neigs, mlp_hidden_dims=[64, 64, 64],
+        nonlinearity="softplus", parallel=True,
         use_fourier_feature=True, fourier_deterministic=True,
-        fourier_mapping_size=16 * ndim, fourier_scale=1.0,
-        apply_boundary=False,
-        sampling_mode="uniform", sampling_scale=float(np.pi),
-        batch_size=512, val_mc_size=16384,
-        optimizer="adam", lr=1e-3, use_lr_scheduler=True,
-        num_iters=iters, print_freq=max(iters // 10, 1), eval_freq=iters,
-        loss=None)
-    ts, all_eigvals, report = main(cfg)
-    return ts, all_eigvals, report
+        fourier_mapping_size=8 * ndim, fourier_scale=1.0,
+        apply_boundary=False)
+    params = init(jax.random.key(seed))
+    method = NestedLoRA(apply, neigs=neigs, sequential=True)
+    optimizer = build_optimizer("adam", cosine_annealing(1e-3, iters))
+    B = 512
+
+    def sampler(key):
+        return np.pi * (2 * jax.random.uniform(key, (B, ndim)) - 1)
+
+    # uniform density on [-pi, pi]^d: conjugation is a constant — thread
+    # it anyway so eval matches the Lebesgue eigenproblem exactly
+    vol = (2 * np.pi) ** ndim
+    importance = lambda x: jnp.full(x.shape[:1] + (1,), 1.0 / vol)
+    chunk = min(1000, iters)
+    run = jax.jit(make_scanned_train_step(
+        method, operator, optimizer, sampler, importance=importance,
+        ema_decay=0.995, steps_per_call=chunk))
+    ts = init_train_state(params, optimizer, method)
+    for i in range(max(iters // chunk, 1)):
+        ts, m = run(ts, jax.random.fold_in(jax.random.key(2), i))
+        if (i + 1) % 10 == 0:
+            print(f"  fp{ndim}d iter {(i + 1) * chunk}: "
+                  f"loss {float(m['loss'][-1]):.5f}", flush=True)
+
+    @jax.jit
+    def accum(params, key):
+        x = np.pi * (2 * jax.random.uniform(key, (8192, ndim)) - 1)
+        Tf, f = operator(lambda xx: apply(params, xx), x, importance)
+        return (jnp.einsum("bl,bm->lm", f, f),
+                jnp.einsum("bl,bm->lm", f, Tf))
+
+    cov = quad = 0.0
+    for r in range(32):
+        c, q = accum(ts.ema_params, jax.random.fold_in(jax.random.key(9), r))
+        cov, quad = cov + c, quad + q
+    return spectrum_report(np.asarray(cov), np.asarray(quad), gt_shifted,
+                           group_sizes, top=int(np.sum(group_sizes)))
 
 
 def main():
@@ -116,32 +168,42 @@ def main():
     iters2 = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     os.makedirs(OUT, exist_ok=True)
     results = {}
-    for ndim, iters, fd in ((1, iters1, fd_fp_spectrum_1d),
-                            (2, iters2, fd_fp_spectrum_2d)):
-        gt = fd(k=6)
-        assert abs(gt[0]) < 1e-6, f"FD ground state must be 0, got {gt[0]}"
-        shift = float(np.ceil(-gt[5] + 1.0))  # make top-6 positive
-        neigs = 6
-        ts, all_eigvals, report = train_fp(ndim, neigs, iters, shift)
-        learned = np.sort(np.asarray(all_eigvals[-1]))[::-1][:neigs]
-        target = gt + shift
-        rel = np.abs(learned - target) / np.maximum(np.abs(target), 1e-12)
+    # top-k closes every degenerate FD shell (1D: 0, -1.126 x2, -4.108 x2,
+    # -9.102 x2; 2D: 0, -0.993 x2, -1.095, -1.119, -2.055); one guard mode
+    # absorbs the truncation edge (the subspace-iteration practice that
+    # fixed the hydrogen L=36 edge shell — BASELINE "Guard-mode mechanics")
+    for ndim, iters, fd, groups in (
+            (1, iters1, fd_fp_spectrum_1d, [1, 2, 2, 2]),
+            (2, iters2, fd_fp_spectrum_2d_rich, [1, 2, 1, 1, 1])):
+        top = int(np.sum(groups))
+        gt = fd(k=top)
+        assert abs(gt[0]) < 2e-4, f"FD ground state must be ~0, got {gt[0]}"
+        gt[0] = 0.0  # exact by construction (Gibbs stationary density)
+        shift = float(np.ceil(-gt[top - 1] + 1.0))  # make top-k positive
+        neigs = top + 1  # one sacrificial guard at the truncation edge
+        rep = train_fp(ndim, neigs, iters, shift, groups, gt + shift)
+        learned = rep["rayleigh"]
+        rel = rep["rel_grouped"]
         lam0 = learned[0] - shift  # reference's only known truth: 0
         results[f"fp{ndim}d"] = {
             "fd_eigvals": [round(float(v), 6) for v in gt],
             "learned_minus_shift": [round(float(v) - shift, 6)
                                     for v in learned],
-            "rel_err_vs_fd": [round(float(v), 6) for v in rel],
+            "rel_err_grouped_vs_fd": [round(float(v), 6) for v in rel],
             "lambda0_abs_err": round(float(abs(lam0)), 8),
-            "max_off_corr": report.get("max_off_corr"),
+            "max_off_corr": round(float(rep["max_off_corr"]), 5),
+            "n_spurious": int(rep["n_spurious"]),
             "iters": iters, "shift": shift,
         }
         print(f"[fp{ndim}d] fd:      {np.round(gt, 5)}")
         print(f"[fp{ndim}d] learned: {np.round(learned - shift, 5)}")
-        print(f"[fp{ndim}d] rel:     {np.round(rel, 6)}", flush=True)
+        print(f"[fp{ndim}d] rel-grp: {np.round(rel, 6)}")
+        print(f"[fp{ndim}d] max_off_corr {rep['max_off_corr']:.4f} "
+              f"n_spurious {rep['n_spurious']}", flush=True)
     print(json.dumps({
-        "metric": "fokker_planck_sin_of_cos_max_rel_err_vs_fd",
-        "value": max(max(r["rel_err_vs_fd"]) for r in results.values()),
+        "metric": "fokker_planck_sin_of_cos_max_rel_err_grouped_vs_fd",
+        "value": max(max(r["rel_err_grouped_vs_fd"])
+                     for r in results.values()),
         "unit": "rel_err",
         "detail": results,
     }))
