@@ -245,8 +245,11 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         # edge-mode rel-err 15x (BASELINE "Guard-mode mechanics")
         import optax
 
-        from neuralsvd_tpu.training.optimizers import per_mode_lr
+        from neuralsvd_tpu.training.optimizers import (
+            assert_mode_axis_unambiguous, per_mode_lr)
 
+        assert PARALLEL, "NS_TAIL_LR requires per-mode towers (NS_PARALLEL=1)"
+        assert_mode_axis_unambiguous(params, NEIGS)
         scales = np.where(np.arange(NEIGS) >= TAIL_LR_START, TAIL_LR,
                           1.0).astype(np.float32)
         opt = optax.chain(opt, per_mode_lr(scales, NEIGS))
