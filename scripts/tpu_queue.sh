@@ -46,6 +46,36 @@ nsq_run_retry "L36 tail-LR 800k gate" 6 -- bash -c \
    python scripts/validate_northstar.py 800000 -1 \
    >> log/r4/H36_taillr_800k.log 2>&1"
 
+# -- 3b. gate fallback: combined levers if tail-LR alone falls short ------------
+# VERDICT r3 item 2: "If tail-LR alone falls short, combine with the
+# early-rescue schedule (H36_clean_800k showed all-rescues-by-100k beats
+# late rescue)."  Guards add 6 extra boosted towers for selection
+# (prefix-independent, so they cannot hurt the first 36).
+gate_value() {
+  python - <<'EOF'
+import json, sys
+val = None
+try:
+    for ln in open("log/r4/H36_taillr_800k.log"):
+        if ln.startswith("{") and "eigval_max_rel_err_grouped" in ln:
+            val = json.loads(ln)["value"]
+except OSError:
+    pass
+print(val if val is not None else "none")
+EOF
+}
+gv=$(gate_value)
+nsq_mark "gate value after step 3: $gv"
+if [ "$gv" = "none" ] || python -c "import sys; sys.exit(0 if float('$gv') > 0.01 else 1)" 2>/dev/null; then
+  nsq_run_retry "L36 combined-lever fallback 800k" 5 -- bash -c \
+    "NS_NEIGS=42 NS_EVAL_TOP=36 NS_RESCUE=1 NS_RESCUE_EVERY=20000 \
+     NS_RESCUE_END=0.15 NS_TAIL_LR=3 NS_TAIL_LR_START=25 \
+     NS_MIX='0.5,2,6,16,32' NS_MIX_W='0.3,0.2,0.2,0.15,0.15' \
+     NS_CKPT=/root/repo/log/r4/H36_combo.ckpt \
+     python scripts/validate_northstar.py 800000 -1 \
+     >> log/r4/H36_combo_800k.log 2>&1"
+fi
+
 # -- 4. E4 exact-step profile row (MFU) ----------------------------------------
 nsq_run_retry "E4 profile" 3 -- bash -c \
   "python scripts/profile_flagships.py log/r4/profile \
