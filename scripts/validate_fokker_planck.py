@@ -166,8 +166,24 @@ def train_fp(ndim, neigs, iters, shift, group_sizes, gt_shifted, seed=0):
 def main():
     iters1 = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     iters2 = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    iters5 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     os.makedirs(OUT, exist_ok=True)
     results = {}
+    if iters5:
+        # 5D: FD is out of reach, but the Gibbs ground state lambda_0 = 0
+        # is exact in any dimension — the reference's own (only) truth,
+        # now actually measured (problems.py cs = [1, .8, .6, .4, .2])
+        rep = train_fp(5, 2, iters5, 2.0, [1], np.array([2.0]))
+        lam0 = rep["rayleigh"][0] - 2.0
+        results["fp5d"] = {
+            "learned_minus_shift": [round(float(lam0), 6)],
+            "rel_err_grouped_vs_fd": [round(float(abs(lam0)) / 2.0, 6)],
+            "lambda0_abs_err": round(float(abs(lam0)), 8),
+            "max_off_corr": round(float(rep["max_off_corr"]), 5),
+            "n_spurious": int(rep["n_spurious"]),
+            "fd_eigvals": [0.0], "iters": iters5, "shift": 2.0,
+        }
+        print(f"[fp5d] lambda0 abs err {abs(lam0):.2e}", flush=True)
     # top-k closes every degenerate FD shell (1D: 0, -1.126 x2, -4.108 x2,
     # -9.102 x2; 2D: 0, -0.993 x2, -1.095, -1.119, -2.055); one guard mode
     # absorbs the truncation edge (the subspace-iteration practice that
