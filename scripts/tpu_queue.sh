@@ -156,7 +156,7 @@ nsq_run_retry "NeuralEF hydrogen L16 300k" 3 -- bash -c \
    python scripts/validate_northstar.py 300000 -1 \
    >> log/r4/H16_neuralef_300k.log 2>&1"
 nsq_run_retry "SpIN hydrogen L16 100k" 3 -- bash -c \
-  "NS_METHOD=spin NS_PARALLEL=0 NS_FMAP=256 NS_LR=1e-3 \
+  "NS_METHOD=spin NS_PARALLEL=0 NS_FMAP=256 \
    NS_CKPT=/root/repo/log/r4/H16_spin.ckpt \
    python scripts/validate_northstar.py 100000 -1 \
    >> log/r4/H16_spin_100k.log 2>&1"
