@@ -301,7 +301,10 @@ def _cached_result(err):
         with open(os.path.join(here, _CACHE_LOG)) as f:
             for ln in f:
                 if ln.startswith("{") and '"metric"' in ln:
-                    rec = json.loads(ln)
+                    try:
+                        rec = json.loads(ln)
+                    except ValueError:  # truncated/corrupt line (ADVICE r4):
+                        continue        # still yield the value=None record
                     if rec.get("unit") == "steps/sec":
                         cached = rec  # keep the LAST recorded measurement
     except OSError:

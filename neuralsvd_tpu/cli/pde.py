@@ -36,7 +36,7 @@ def main(cfg: PDEConfig):
     logging.basicConfig(level=logging.INFO)
 
     log_dir = os.path.join(cfg.log_dir, run_name(cfg))
-    if os.path.exists(log_dir) and not cfg.overwrite:
+    if os.path.exists(log_dir) and not (cfg.overwrite or cfg.resume):
         raise ValueError(f"{log_dir} exists and --overwrite not set")
     os.makedirs(log_dir, exist_ok=True)
     log.info("log dir: %s", log_dir)
@@ -202,6 +202,27 @@ def main(cfg: PDEConfig):
             assert_mode_axis_unambiguous
         assert_mode_axis_unambiguous(params, cfg.neigs)
 
+    # --resume: restart from the latest ckpt_<it> saved by checkpoint_fn
+    # (reference: utils.py's resume-killed/latest-checkpoint convention);
+    # the key stream folds in absolute iters so sampling continues exactly
+    initial_ts, start_iter = None, 0
+    if cfg.resume and os.path.isdir(log_dir):
+        import re
+
+        from neuralsvd_tpu.training.checkpoint import load_checkpoint
+        from neuralsvd_tpu.training.train_state import (TrainState,
+                                                        init_train_state)
+        cks = [(int(m.group(1)), d) for d in os.listdir(log_dir)
+               if (m := re.fullmatch(r"ckpt_(\d+)", d))]
+        if cks:
+            start_iter, latest = max(cks)
+            template = init_train_state(params, optimizer,
+                                        method)._asdict()
+            restored = load_checkpoint(os.path.join(log_dir, latest),
+                                       template)
+            initial_ts = TrainState(**restored)
+            log.info("resuming from %s at iter %d", latest, start_iter)
+
     ts, all_eigvals, all_norms = train_operator(
         method, operator, sample, optimizer, params,
         num_iters=cfg.num_iters,
@@ -218,7 +239,8 @@ def main(cfg: PDEConfig):
         profile_start=cfg.profile_start, profile_steps=cfg.profile_steps,
         grad_clip=cfg.grad_clip, mesh=mesh,
         rescue_init_fn=(init if cfg.rescue else None),
-        rescue_until=cfg.rescue_until)
+        rescue_until=cfg.rescue_until,
+        initial_ts=initial_ts, start_iter=start_iter)
 
     np.savez(os.path.join(log_dir, "stats.npz"),
              all_eigvals=np.asarray(all_eigvals),

@@ -84,7 +84,11 @@ class VectorizedLaplacian:
     implementation: "forward" (default) = the fused forward-Laplacian
     engine (ops/forward_laplacian.py, one primal pass, ~(D+2) vs
     ~(4D+1) tower-passes); "jvp" = the vmapped nested-JVP path (kept as
-    the independently-validated oracle).
+    the independently-validated oracle).  The "forward" default is
+    PROVISIONAL pending a TPU wall-clock A/B (scripts/bench_laplacian.py,
+    queued): the evidence so far is XLA FLOP analysis (1.63x fewer step
+    FLOPs) + CPU correctness tests, and FLOPs are not wall-clock on a
+    systolic array (VERDICT r4 weak 3).
 
     ``num_probes`` > 0 (with eps <= 0) enables the UNBIASED stochastic
     Hutchinson estimator (ops/forward_laplacian.hutchinson_laplacian):

@@ -231,6 +231,11 @@ def rescue_modes(ts: TrainState, init_fn: Callable, key, cov, quad,
         factors = np.sqrt(target / fresh_norms)
         params = scale_fn(params, tail_idx, factors)
         info["amplitude_factors"] = factors
+    # amplitude_factors must exist whenever n_spurious > 0: the
+    # all-spurious path above skips the rescale block, and callers print
+    # the key unconditionally (ADVICE r4 medium — KeyError crashed the
+    # NaN-blown rescue the n_bad<neigs gate was added to survive)
+    info.setdefault("amplitude_factors", np.ones(n_bad))
     # tail EMA := the (possibly rescaled) fresh params; healthy EMA kept
     ema = _tree_splice_tail(ema, params, neigs, n_bad)
     info["perm"] = perm

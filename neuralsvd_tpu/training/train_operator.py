@@ -204,6 +204,8 @@ def train_operator(
     dp_axis: str = "dp",
     rescue_init_fn: Optional[Callable] = None,
     rescue_until: float = 0.7,
+    initial_ts=None,
+    start_iter: int = 0,
 ):
     """Host driver: runs the jitted step, periodic EMA eval + checkpointing.
 
@@ -230,7 +232,11 @@ def train_operator(
     from neuralsvd_tpu.methods.spectrum import compute_spectrum_evd
     from neuralsvd_tpu.training.ewm import EWMMonitor
 
-    ts = init_train_state(init_params, optimizer, method)
+    # resume: ``initial_ts``/``start_iter`` restart the loop mid-run; keys
+    # fold in the ABSOLUTE iteration index, so the sample stream continues
+    # exactly where the checkpointed run left off
+    ts = (initial_ts if initial_ts is not None
+          else init_train_state(init_params, optimizer, method))
     base_key = jax.random.key(seed)
 
     if normalize is None:
@@ -369,7 +375,7 @@ def train_operator(
     rescue_grace: list = []
     total_skips = 0
     start = time.time()
-    it = 0
+    it = start_iter
     profiling = False
     while it < num_iters:
         if profile_dir is not None and not profiling and it >= profile_start:
@@ -406,7 +412,8 @@ def train_operator(
         if it % print_freq == 0 or it == num_iters:
             elapsed = time.time() - start
             row = {"iter": it, "train_loss": loss_v,
-                   "time": elapsed, "steps_per_sec": it / elapsed}
+                   "time": elapsed,
+                   "steps_per_sec": (it - start_iter) / elapsed}
             if total_skips:
                 row["skips"] = total_skips
             log.info("%s", row)

@@ -47,6 +47,10 @@ class PDEConfig:
     seed: int = 42
     log_dir: str = "./log"
     overwrite: bool = False
+    # resume from the latest ckpt_<it> in the run's log dir (reference:
+    # utils.py resume_killed / latest checkpoint convention); safe no-op
+    # when no checkpoint exists yet
+    resume: bool = False
     print_freq: int = 1000
     eval_freq: int = 50000
     print_local_energies: bool = False

@@ -53,6 +53,44 @@ nsq_pid_gate() {  # nsq_pid_gate <pidfile> — single-instance lock; rc 1 if
   echo $$ > "$pidfile"
 }
 
+nsq_gate_value() {  # nsq_gate_value <log> <metric_substr> — print the last
+                    # JSON "value" whose line mentions the metric, or "none"
+  python - "$1" "$2" <<'EOF'
+import json, sys
+val = None
+try:
+    for ln in open(sys.argv[1]):
+        if ln.startswith("{") and sys.argv[2] in ln:
+            try:
+                val = json.loads(ln)["value"]
+            except (ValueError, KeyError):
+                pass  # mangled line: keep scanning, stay conservative
+except OSError:
+    pass
+print(val if val is not None else "none")
+EOF
+}
+
+nsq_gate_needs_fallback() {  # nsq_gate_needs_fallback <log> <metric_substr>
+                             # <threshold> — rc 0 (RUN the fallback) unless
+                             # the log proves value <= threshold.  Absent
+                             # log, missing metric, or an unparsable value
+                             # all read as "gate outcome unknown" -> rc 0
+                             # (ADVICE r4: a parse crash must not silently
+                             # skip the flagship rescue).
+  local gv
+  gv=$(nsq_gate_value "$1" "$2")
+  nsq_mark "gate $2 from $1: $gv (threshold $3)"
+  python - "$gv" "$3" <<'EOF'
+import sys
+try:
+    met = float(sys.argv[1]) <= float(sys.argv[2])
+except ValueError:
+    met = False
+sys.exit(1 if met else 0)
+EOF
+}
+
 nsq_run_retry() {  # nsq_run_retry <label> <attempts> -- cmd...
                    # relay-gated fresh-process retries; rc of last attempt
   local label="$1" attempts="$2"; shift 3

@@ -29,9 +29,13 @@ nsq_relay_wait
 nsq_mark "relay up"
 
 # -- 1. live bench ------------------------------------------------------------
+# success requires a LIVE record: bench.py's cached-fallback line also
+# contains "metric", so additionally reject any _cached metric (ADVICE r4
+# — a mid-run relay drop must retry, not mark the step done with a cache)
 nsq_run_retry "live bench" 3 -- bash -c \
   "NS_BENCH_INNER=1 python bench.py > log/r4/bench_sanity.log 2>&1 \
-   && grep -q '\"metric\"' log/r4/bench_sanity.log"
+   && grep -q '\"metric\"' log/r4/bench_sanity.log \
+   && ! grep -q '_cached' log/r4/bench_sanity.log"
 
 # -- 2. Laplacian engine A/B ---------------------------------------------------
 nsq_run_retry "laplacian A/B" 3 -- bash -c \
@@ -51,22 +55,11 @@ nsq_run_retry "L36 tail-LR 800k gate" 6 -- bash -c \
 # early-rescue schedule (H36_clean_800k showed all-rescues-by-100k beats
 # late rescue)."  Guards add 6 extra boosted towers for selection
 # (prefix-independent, so they cannot hurt the first 36).
-gate_value() {
-  python - <<'EOF'
-import json, sys
-val = None
-try:
-    for ln in open("log/r4/H36_taillr_800k.log"):
-        if ln.startswith("{") and "eigval_max_rel_err_grouped" in ln:
-            val = json.loads(ln)["value"]
-except OSError:
-    pass
-print(val if val is not None else "none")
-EOF
-}
-gv=$(gate_value)
-nsq_mark "gate value after step 3: $gv"
-if [ "$gv" = "none" ] || python -c "import sys; sys.exit(0 if float('$gv') > 0.01 else 1)" 2>/dev/null; then
+# gate decision lives in queue_lib.sh (nsq_gate_needs_fallback) and is
+# unit-tested against synthetic logs (tests/test_queue_lib.py): absent
+# log / mangled value => fallback RUNS (conservative; ADVICE r4).
+if nsq_gate_needs_fallback log/r4/H36_taillr_800k.log \
+     eigval_max_rel_err_grouped 0.01; then
   nsq_run_retry "L36 combined-lever fallback 800k" 5 -- bash -c \
     "NS_NEIGS=42 NS_EVAL_TOP=36 NS_RESCUE=1 NS_RESCUE_EVERY=20000 \
      NS_RESCUE_END=0.15 NS_TAIL_LR=3 NS_TAIL_LR_START=25 \
@@ -160,6 +153,14 @@ nsq_run_retry "SpIN hydrogen L16 100k" 3 -- bash -c \
    NS_CKPT=/root/repo/log/r4/H16_spin.ckpt \
    python scripts/validate_northstar.py 100000 -1 \
    >> log/r4/H16_spin_100k.log 2>&1"
+# per-mode-tower control at L=6 (VERDICT r4 weak 5: a weak shared-trunk
+# SpIN number alone is unattributable — trunk artifact vs method limit;
+# L=6 keeps the (L, L, P) j_avg EMA inside HBM with parallel towers)
+nsq_run_retry "SpIN hydrogen L6 per-mode control 100k" 3 -- bash -c \
+  "NS_METHOD=spin NS_PARALLEL=1 NS_NEIGS=6 \
+   NS_CKPT=/root/repo/log/r4/H6_spin_permode.ckpt \
+   python scripts/validate_northstar.py 100000 -1 \
+   >> log/r4/H6_spin_permode_100k.log 2>&1"
 
 # -- 9. cosine-2D L=25 full literature table (VERDICT r3 item 6) -----------------
 nsq_run_retry "cosine-2D L25 rescue" 3 -- bash -c "

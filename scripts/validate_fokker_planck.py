@@ -37,7 +37,10 @@ def fd_fp_spectrum_1d(cs=(1.0,), n=2048, k=6):
     x = -np.pi + h * np.arange(n)
     V = np.sin(np.sum([c * np.cos(x) for c in cs], axis=0))
     # spectral-accurate potential derivatives (analytic): V = sin(c cos x)
-    c = cs[0]
+    # with c = sum(cs) — in 1D sum_i c_i cos x == (sum c_i) cos x, so the
+    # derivatives must use the summed coefficient (ADVICE r4: cs[0] alone
+    # silently diagonalizes the wrong operator for len(cs) > 1)
+    c = float(np.sum(cs))
     Vp = np.cos(c * np.cos(x)) * (-c * np.sin(x))
     Vpp = (-np.sin(c * np.cos(x)) * (c * np.sin(x)) ** 2
            + np.cos(c * np.cos(x)) * (-c * np.cos(x)))
@@ -98,7 +101,8 @@ def fd_fp_spectrum_2d_rich(cs=(1.0, 1.0), k=6):
     return (r * e2 - e1) / (r - 1)
 
 
-def train_fp(ndim, neigs, iters, shift, group_sizes, gt_shifted, seed=0):
+def train_fp(ndim, neigs, iters, shift, group_sizes, gt_shifted, seed=0,
+             tag=None):
     """Reference FP protocol (problems.py:96-119: torus, deterministic
     Fourier features, uniform sampling, no boundary) through the shipped
     stack; collapse-/degeneracy-aware eval via spectrum_report."""
@@ -142,11 +146,27 @@ def train_fp(ndim, neigs, iters, shift, group_sizes, gt_shifted, seed=0):
         method, operator, optimizer, sampler, importance=importance,
         ema_decay=0.995, steps_per_call=chunk))
     ts = init_train_state(params, optimizer, method)
-    for i in range(max(iters // chunk, 1)):
+    # resumable: the round-4 run died at 20k/50k iters at the round
+    # boundary with nothing recoverable (VERDICT r4 item 1 — "under
+    # checkpointing, commit partial rows as runs progress")
+    from neuralsvd_tpu.training.checkpoint import (load_resumable,
+                                                   save_resumable)
+    ckpt = (os.path.abspath(os.path.join(OUT, f"{tag}.ckpt"))
+            if tag else None)  # tag=None (tests): no ckpt I/O at all
+    start = 0
+    if ckpt:
+        restored = load_resumable(ckpt, ts)
+        if restored is not None:
+            ts, start = restored
+            print(f"  fp{ndim}d resumed at iter {start * chunk}",
+                  flush=True)
+    for i in range(start, max(iters // chunk, 1)):
         ts, m = run(ts, jax.random.fold_in(jax.random.key(2), i))
         if (i + 1) % 10 == 0:
             print(f"  fp{ndim}d iter {(i + 1) * chunk}: "
                   f"loss {float(m['loss'][-1]):.5f}", flush=True)
+            if ckpt:
+                save_resumable(ckpt, ts, i + 1)
 
     @jax.jit
     def accum(params, key):
@@ -169,11 +189,30 @@ def main():
     iters5 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     os.makedirs(OUT, exist_ok=True)
     results = {}
-    if iters5:
+
+    def done_file(tag):
+        return os.path.join(OUT, f"{tag}.result.json")
+
+    def load_done(tag):
+        try:
+            with open(done_file(tag)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def save_done(tag, row):
+        with open(done_file(tag), "w") as f:
+            json.dump(row, f)
+
+    if iters5 and (row := load_done("fp5d")) is not None:
+        results["fp5d"] = row
+        print(f"[fp5d] already measured: {row['lambda0_abs_err']:.2e}",
+              flush=True)
+    elif iters5:
         # 5D: FD is out of reach, but the Gibbs ground state lambda_0 = 0
         # is exact in any dimension — the reference's own (only) truth,
         # now actually measured (problems.py cs = [1, .8, .6, .4, .2])
-        rep = train_fp(5, 2, iters5, 2.0, [1], np.array([2.0]))
+        rep = train_fp(5, 2, iters5, 2.0, [1], np.array([2.0]), tag="fp5d")
         lam0 = rep["rayleigh"][0] - 2.0
         results["fp5d"] = {
             "learned_minus_shift": [round(float(lam0), 6)],
@@ -183,6 +222,7 @@ def main():
             "n_spurious": int(rep["n_spurious"]),
             "fd_eigvals": [0.0], "iters": iters5, "shift": 2.0,
         }
+        save_done("fp5d", results["fp5d"])
         print(f"[fp5d] lambda0 abs err {abs(lam0):.2e}", flush=True)
     # top-k closes every degenerate FD shell (1D: 0, -1.126 x2, -4.108 x2,
     # -9.102 x2; 2D: 0, -0.993 x2, -1.095, -1.119, -2.055); one guard mode
@@ -191,13 +231,20 @@ def main():
     for ndim, iters, fd, groups in (
             (1, iters1, fd_fp_spectrum_1d, [1, 2, 2, 2]),
             (2, iters2, fd_fp_spectrum_2d_rich, [1, 2, 1, 1, 1])):
+        tag = f"fp{ndim}d"
+        if (row := load_done(tag)) is not None:
+            results[tag] = row
+            print(f"[{tag}] already measured: rel-grp "
+                  f"{row['rel_err_grouped_vs_fd']}", flush=True)
+            continue
         top = int(np.sum(groups))
         gt = fd(k=top)
         assert abs(gt[0]) < 2e-4, f"FD ground state must be ~0, got {gt[0]}"
         gt[0] = 0.0  # exact by construction (Gibbs stationary density)
         shift = float(np.ceil(-gt[top - 1] + 1.0))  # make top-k positive
         neigs = top + 1  # one sacrificial guard at the truncation edge
-        rep = train_fp(ndim, neigs, iters, shift, groups, gt + shift)
+        rep = train_fp(ndim, neigs, iters, shift, groups, gt + shift,
+                       tag=tag)
         learned = rep["rayleigh"]
         rel = rep["rel_grouped"]
         lam0 = learned[0] - shift  # reference's only known truth: 0
@@ -211,6 +258,7 @@ def main():
             "n_spurious": int(rep["n_spurious"]),
             "iters": iters, "shift": shift,
         }
+        save_done(tag, results[tag])
         print(f"[fp{ndim}d] fd:      {np.round(gt, 5)}")
         print(f"[fp{ndim}d] learned: {np.round(learned - shift, 5)}")
         print(f"[fp{ndim}d] rel-grp: {np.round(rel, 6)}")

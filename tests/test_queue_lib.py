@@ -166,3 +166,48 @@ def test_tpu_queue_syntax():
     r = subprocess.run(["bash", "-n", "scripts/tpu_queue.sh"], cwd=REPO,
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
+
+
+def _gate(log_path, env):
+    return _bash(
+        f"nsq_gate_needs_fallback {log_path} eigval_max_rel_err_grouped 0.01",
+        env)
+
+
+def test_gate_fallback_decision(tmp_path):
+    """VERDICT r4 weak 6 / ADVICE r4: the flagship gate decision
+    (tpu_queue.sh step 3b) against synthetic logs — gate hit skips the
+    fallback (rc 1); gate missed, absent log, and a mangled value all RUN
+    the fallback (rc 0, conservative)."""
+    env = {"NSQ_LOG": str(tmp_path / "q.log")}
+    log = tmp_path / "gate.log"
+
+    # gate hit: value <= threshold -> fallback skipped
+    log.write_text(
+        'noise\n{"metric": "eigval_max_rel_err_grouped", "value": 0.005}\n')
+    assert _gate(log, env).returncode == 1
+
+    # gate missed -> fallback runs
+    log.write_text(
+        '{"metric": "eigval_max_rel_err_grouped", "value": 0.0221}\n')
+    assert _gate(log, env).returncode == 0
+
+    # later records win (a resumed run appends): last value decides
+    log.write_text(
+        '{"metric": "eigval_max_rel_err_grouped", "value": 0.0221}\n'
+        '{"metric": "eigval_max_rel_err_grouped", "value": 0.0076}\n')
+    assert _gate(log, env).returncode == 1
+
+    # absent log -> unknown -> fallback runs
+    assert _gate(tmp_path / "nope.log", env).returncode == 0
+
+    # mangled JSON / non-numeric value -> unknown -> fallback runs
+    log.write_text('{"metric": "eigval_max_rel_err_grouped", "value": ')
+    assert _gate(log, env).returncode == 0
+    log.write_text(
+        '{"metric": "eigval_max_rel_err_grouped", "value": "NaN-ish junk"}\n')
+    assert _gate(log, env).returncode == 0
+
+    # other metrics in the log are ignored
+    log.write_text('{"metric": "steps_per_sec", "value": 268.9}\n')
+    assert _gate(log, env).returncode == 0

@@ -223,6 +223,11 @@ def test_rescue_all_modes_spurious_no_crash(wf):
         measure_norms=lambda p: np.ones(L),
         scale_fn=lambda p, idx, f: p)
     assert info["n_spurious"] == L
+    # ADVICE r4 medium: the all-spurious path skips the amplitude rescale
+    # but callers (validate_northstar's rescue print) read
+    # info['amplitude_factors'] unconditionally whenever n_spurious > 0 —
+    # the key must ALWAYS exist on that path
+    assert len(np.asarray(info["amplitude_factors"])) == L
     x = jnp.asarray(np.random.default_rng(1).standard_normal((8, 2)),
                     jnp.float32)
     out = np.asarray(apply(ts2.params, x))
