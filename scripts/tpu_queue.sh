@@ -154,13 +154,13 @@ nsq_run_retry "SpIN hydrogen L16 100k" 3 -- bash -c \
    python scripts/validate_northstar.py 100000 -1 \
    >> log/r4/H16_spin_100k.log 2>&1"
 # per-mode-tower control at L=6 (VERDICT r4 weak 5: a weak shared-trunk
-# SpIN number alone is unattributable — trunk artifact vs method limit;
-# L=6 keeps the (L, L, P) j_avg EMA inside HBM with parallel towers)
-nsq_run_retry "SpIN hydrogen L6 per-mode control 100k" 3 -- bash -c \
-  "NS_METHOD=spin NS_PARALLEL=1 NS_NEIGS=6 \
-   NS_CKPT=/root/repo/log/r4/H6_spin_permode.ckpt \
+# SpIN number alone is unattributable: trunk artifact vs method limit;
+# L=4 keeps the (L, L, P) j_avg EMA inside HBM with parallel towers)
+nsq_run_retry "SpIN hydrogen L4 per-mode control 100k" 3 -- bash -c \
+  "NS_METHOD=spin NS_PARALLEL=1 NS_NEIGS=4 \
+   NS_CKPT=/root/repo/log/r4/H4_spin_permode.ckpt \
    python scripts/validate_northstar.py 100000 -1 \
-   >> log/r4/H6_spin_permode_100k.log 2>&1"
+   >> log/r4/H4_spin_permode_100k.log 2>&1"
 
 # -- 9. cosine-2D L=25 full literature table (VERDICT r3 item 6) -----------------
 nsq_run_retry "cosine-2D L25 rescue" 3 -- bash -c "
