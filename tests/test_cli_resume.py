@@ -58,3 +58,24 @@ def test_cli_pde_resume_without_checkpoint_is_fresh_start(tmp_path):
     ts, ev, _ = main(_cfg(tmp_path, num_iters=400, resume=True))
     assert len(ev) == 1
     assert np.isfinite(np.asarray(ev[-1])).all()
+
+
+def test_cli_pde_resume_on_dp_mesh(tmp_path):
+    """Resume must also hold under the sharded driver (--mesh dp=4):
+    checkpoints are host arrays; the restored state re-enters the
+    shard_map step and continues the same global key stream."""
+    from neuralsvd_tpu.cli.pde import main
+
+    cfg = dict(mesh="dp=4", batch_size=64, num_iters=800)
+    ts_straight, ev_straight, _ = main(_cfg(tmp_path, **cfg))
+    run_dir = next(r for r, _, files in os.walk(tmp_path)
+                   if "stats.npz" in files)
+    shutil.rmtree(os.path.join(run_dir, "ckpt_800"))
+    ts_resumed, ev_resumed, _ = main(_cfg(tmp_path, resume=True, **cfg))
+
+    np.testing.assert_allclose(np.asarray(ev_resumed[-1]),
+                               np.asarray(ev_straight[-1]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(ts_straight.params),
+                    jax.tree.leaves(ts_resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
