@@ -284,45 +284,53 @@ def _run_with_retries():
     print(json.dumps(_cached_result(err)))
 
 
-_CACHE_LOG = "log/r3/bench_sanity.log"
+# Newest-first: r4's log holds the round-5 live measurement (391 steps/s,
+# 2026-08-19); r3's the 2026-08-17 one.  Only live records are cacheable
+# (a `_cached` metric in a log is itself a fallback, never re-cached).
+_CACHE_LOGS = ("log/r4/bench_sanity.log", "log/r3/bench_sanity.log")
 
 
 def _cached_result(err):
-    """Last recorded live TPU measurement, parsed from the bench log at
+    """Last recorded live TPU measurement, parsed from the bench logs at
     runtime — NEVER a hard-coded constant (ADVICE r3: a literal silently
     goes stale when the config changes, and a consumer parsing only
     metric/value gets a fabricated number).  The metric is renamed with a
     `_cached` suffix so no consumer can mistake it for a live run; if the
-    log is absent or unparsable this fails loudly with value=None."""
+    logs are absent or unparsable this fails loudly with value=None."""
     import os
     here = os.path.dirname(os.path.abspath(__file__))
-    cached = None
-    try:
-        with open(os.path.join(here, _CACHE_LOG)) as f:
-            for ln in f:
-                if ln.startswith("{") and '"metric"' in ln:
-                    try:
-                        rec = json.loads(ln)
-                    except ValueError:  # truncated/corrupt line (ADVICE r4):
-                        continue        # still yield the value=None record
-                    if rec.get("unit") == "steps/sec":
-                        cached = rec  # keep the LAST recorded measurement
-    except OSError:
-        pass
+    cached = cache_log = None
+    for log in _CACHE_LOGS:
+        try:
+            with open(os.path.join(here, log)) as f:
+                for ln in f:
+                    if ln.startswith("{") and '"metric"' in ln:
+                        try:
+                            rec = json.loads(ln)
+                        except ValueError:  # truncated/corrupt (ADVICE r4):
+                            continue        # still yield value=None record
+                        if (rec.get("unit") == "steps/sec"
+                                and "_cached" not in rec.get("metric", "")):
+                            cached = rec  # LAST recorded measurement
+                            cache_log = log
+        except OSError:
+            pass
+        if cached is not None:
+            break
     if cached is None:
         return {
             "metric": "hydrogen2d_L16_bs512_E4_parallelmlp_"
                       "train_steps_per_sec_cached",
             "value": None, "unit": "steps/sec", "vs_baseline": None,
             "live_run_error": err,
-            "cache_error": f"no cached measurement found in {_CACHE_LOG}",
+            "cache_error": f"no cached measurement found in {_CACHE_LOGS}",
         }
     return {
         "metric": cached["metric"] + "_cached",
         "value": cached["value"],
         "unit": cached["unit"],
         "vs_baseline": cached.get("vs_baseline"),
-        "cached_from": f"{_CACHE_LOG} (2026-08-17, 1x v5e) — LIVE RUN "
+        "cached_from": f"{cache_log} (1x v5e) — LIVE RUN "
                        "FAILED, value is the last recorded TPU measurement "
                        "of the same config",
         "live_run_error": err,

@@ -85,10 +85,11 @@ class VectorizedLaplacian:
     engine (ops/forward_laplacian.py, one primal pass, ~(D+2) vs
     ~(4D+1) tower-passes); "jvp" = the vmapped nested-JVP path (kept as
     the independently-validated oracle).  The "forward" default is
-    PROVISIONAL pending a TPU wall-clock A/B (scripts/bench_laplacian.py,
-    queued): the evidence so far is XLA FLOP analysis (1.63x fewer step
-    FLOPs) + CPU correctness tests, and FLOPs are not wall-clock on a
-    systolic array (VERDICT r4 weak 3).
+    CONFIRMED by TPU wall-clock A/B (scripts/bench_laplacian.py, 1x v5e,
+    2026-08-19): forward 387.8 vs jvp 270.2 steps/s on the hydrogen-2D
+    L=16 E4 step (1.43x) and 368.1 vs 257.8 on hydrogen-3D L=14 (1.43x)
+    — matching the 1.63x XLA FLOP analysis direction (VERDICT r4 weak 3
+    closed; log/r4/bench_laplacian.log).
 
     ``num_probes`` > 0 (with eps <= 0) enables the UNBIASED stochastic
     Hutchinson estimator (ops/forward_laplacian.hutchinson_laplacian):
