@@ -102,10 +102,16 @@ def fd_fp_spectrum_2d_rich(cs=(1.0, 1.0), k=6):
 
 
 def train_fp(ndim, neigs, iters, shift, group_sizes, gt_shifted, seed=0,
-             tag=None):
+             tag=None, levers=False):
     """Reference FP protocol (problems.py:96-119: torus, deterministic
     Fourier features, uniform sampling, no boundary) through the shipped
-    stack; collapse-/degeneracy-aware eval via spectrum_report."""
+    stack; collapse-/degeneracy-aware eval via spectrum_report.
+
+    ``levers=True`` arms the repo's validated anti-collapse levers on the
+    truncation edge (NS_FP_LEVERS=1; same recipe as hydrogen L=36 and
+    cosine-2D L=25): 3x per-mode tail LR from the last degenerate shell,
+    plus periodic clone-and-perturb rescue of dead/duplicate modes.  The
+    plain run is the reference-protocol row; this is the +levers row."""
     import jax
     import jax.numpy as jnp
 
@@ -132,6 +138,21 @@ def train_fp(ndim, neigs, iters, shift, group_sizes, gt_shifted, seed=0,
     params = init(jax.random.key(seed))
     method = NestedLoRA(apply, neigs=neigs, sequential=True)
     optimizer = build_optimizer("adam", cosine_annealing(1e-3, iters))
+    if levers:
+        import optax
+
+        from neuralsvd_tpu.training.optimizers import (
+            assert_mode_axis_unambiguous, per_mode_lr)
+
+        assert_mode_axis_unambiguous(params, neigs)
+        # boost the last degenerate shell + guards (prefix-independent
+        # under sequential nesting — tests/test_guard_invariance.py)
+        tail_start = int(np.sum(group_sizes[:-1]))
+        scales = np.where(np.arange(neigs) >= tail_start, 3.0,
+                          1.0).astype(np.float32)
+        optimizer = optax.chain(optimizer, per_mode_lr(scales, neigs))
+        print(f"  fp{ndim}d levers: tail LR 3x from mode {tail_start}",
+              flush=True)
     B = 512
 
     def sampler(key):
@@ -160,14 +181,6 @@ def train_fp(ndim, neigs, iters, shift, group_sizes, gt_shifted, seed=0,
             ts, start = restored
             print(f"  fp{ndim}d resumed at iter {start * chunk}",
                   flush=True)
-    for i in range(start, max(iters // chunk, 1)):
-        ts, m = run(ts, jax.random.fold_in(jax.random.key(2), i))
-        if (i + 1) % 10 == 0:
-            print(f"  fp{ndim}d iter {(i + 1) * chunk}: "
-                  f"loss {float(m['loss'][-1]):.5f}", flush=True)
-            if ckpt:
-                save_resumable(ckpt, ts, i + 1)
-
     @jax.jit
     def accum(params, key):
         x = np.pi * (2 * jax.random.uniform(key, (8192, ndim)) - 1)
@@ -175,11 +188,62 @@ def train_fp(ndim, neigs, iters, shift, group_sizes, gt_shifted, seed=0,
         return (jnp.einsum("bl,bm->lm", f, f),
                 jnp.einsum("bl,bm->lm", f, Tf))
 
-    cov = quad = 0.0
-    for r in range(32):
-        c, q = accum(ts.ema_params, jax.random.fold_in(jax.random.key(9), r))
-        cov, quad = cov + c, quad + q
-    return spectrum_report(np.asarray(cov), np.asarray(quad), gt_shifted,
+    def accum_rounds(params, rounds, seed_):
+        cov = quad = 0.0
+        for r in range(rounds):
+            c, q = accum(params, jax.random.fold_in(jax.random.key(seed_), r))
+            cov, quad = cov + c, quad + q
+        return np.asarray(cov), np.asarray(quad)
+
+    # clone-and-perturb rescue on the live params (same machinery as the
+    # hydrogen flagship — training/rescue.py); every iters//5, stop at 60%
+    rescue_at = ({it for it in range((iters // 5 // chunk) * chunk,
+                                     int(0.6 * iters) + 1,
+                                     (iters // 5 // chunk) * chunk)}
+                 if levers and iters // 5 >= chunk else set())
+    grace_slots = []
+
+    def maybe_rescue(ts, it_done):
+        nonlocal grace_slots
+        from neuralsvd_tpu.methods.spectrum import format_mode_health
+        from neuralsvd_tpu.models.wavefunctions import scale_mode_amplitudes
+        from neuralsvd_tpu.training.rescue import rescue_modes
+
+        cov, quad = accum_rounds(ts.params, 8, 11 + it_done)
+
+        def measure_norms(params):
+            c, _ = accum_rounds(params, 2, 13 + it_done)
+            return np.diag(c)
+
+        ts, info = rescue_modes(
+            ts, init, jax.random.fold_in(jax.random.key(7), it_done),
+            cov, quad, neigs,
+            measure_norms=measure_norms, scale_fn=scale_mode_amplitudes,
+            clone_healthy_tail=True, grace_slots=grace_slots)
+        if info["n_spurious"]:
+            grace_slots = list(info["tail_slots"])
+            print(f"  [fp{ndim}d rescue @ {it_done}] exiled "
+                  f"{info['n_spurious']} modes:\n"
+                  f"{format_mode_health(info['health'])}", flush=True)
+        else:
+            grace_slots = []
+            print(f"  [fp{ndim}d rescue @ {it_done}] all modes healthy",
+                  flush=True)
+        return ts
+
+    for i in range(start, max(iters // chunk, 1)):
+        ts, m = run(ts, jax.random.fold_in(jax.random.key(2), i))
+        it_done = (i + 1) * chunk
+        if it_done in rescue_at and it_done < iters:
+            ts = maybe_rescue(ts, it_done)
+        if (i + 1) % 10 == 0:
+            print(f"  fp{ndim}d iter {it_done}: "
+                  f"loss {float(m['loss'][-1]):.5f}", flush=True)
+            if ckpt:
+                save_resumable(ckpt, ts, i + 1)
+
+    cov, quad = accum_rounds(ts.ema_params, 32, 9)
+    return spectrum_report(cov, quad, gt_shifted,
                            group_sizes, top=int(np.sum(group_sizes)))
 
 
@@ -228,10 +292,11 @@ def main():
     # -9.102 x2; 2D: 0, -0.993 x2, -1.095, -1.119, -2.055); one guard mode
     # absorbs the truncation edge (the subspace-iteration practice that
     # fixed the hydrogen L=36 edge shell — BASELINE "Guard-mode mechanics")
+    levers = os.environ.get("NS_FP_LEVERS", "0") == "1"
     for ndim, iters, fd, groups in (
             (1, iters1, fd_fp_spectrum_1d, [1, 2, 2, 2]),
             (2, iters2, fd_fp_spectrum_2d_rich, [1, 2, 1, 1, 1])):
-        tag = f"fp{ndim}d"
+        tag = f"fp{ndim}d" + ("_levers" if levers else "")
         if (row := load_done(tag)) is not None:
             results[tag] = row
             print(f"[{tag}] already measured: rel-grp "
@@ -242,13 +307,15 @@ def main():
         assert abs(gt[0]) < 2e-4, f"FD ground state must be ~0, got {gt[0]}"
         gt[0] = 0.0  # exact by construction (Gibbs stationary density)
         shift = float(np.ceil(-gt[top - 1] + 1.0))  # make top-k positive
-        neigs = top + 1  # one sacrificial guard at the truncation edge
+        # one sacrificial guard at the truncation edge (two with levers:
+        # rescue needs a healthy-tail clone source above the top shell)
+        neigs = top + (2 if levers else 1)
         rep = train_fp(ndim, neigs, iters, shift, groups, gt + shift,
-                       tag=tag)
+                       tag=tag, levers=levers)
         learned = rep["rayleigh"]
         rel = rep["rel_grouped"]
         lam0 = learned[0] - shift  # reference's only known truth: 0
-        results[f"fp{ndim}d"] = {
+        results[tag] = {
             "fd_eigvals": [round(float(v), 6) for v in gt],
             "learned_minus_shift": [round(float(v) - shift, 6)
                                     for v in learned],

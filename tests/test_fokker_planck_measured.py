@@ -56,3 +56,20 @@ def test_fp_micro_train_ground_state():
     lam0 = rep["rayleigh"][0] - shift
     assert abs(lam0) / shift < 5e-3, rep["rayleigh"]
     assert np.isfinite(rep["rayleigh"]).all()
+
+
+def test_fp_micro_train_levers_path():
+    """NS_FP_LEVERS wiring (tail-LR chain + rescue hook) trains and
+    evaluates; at 1500 iters the rescue fires at 300-interval boundaries
+    only when iters//5 >= chunk, so here it exercises the per-mode LR
+    chain + the no-rescue guard without a full rescue cycle."""
+    from validate_fokker_planck import train_fp
+
+    gt = fd_fp_spectrum_1d(n=1024, k=5)
+    gt[0] = 0.0
+    shift = float(np.ceil(-gt[4] + 1.0))
+    rep = train_fp(1, 6, 500, shift, [1, 2, 2], gt + shift, seed=1,
+                   levers=True)
+    lam0 = rep["rayleigh"][0] - shift
+    assert abs(lam0) / shift < 5e-3, rep["rayleigh"]
+    assert np.isfinite(rep["rayleigh"]).all()
