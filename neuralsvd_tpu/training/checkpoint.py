@@ -106,24 +106,37 @@ def load_resumable(path: str, template_ts: Any) -> Optional[tuple]:
     Returns None when ``path`` does not exist.  Legacy pickle files
     (the round-2 NS_CKPT format: {"ts": TrainState, "chunk": int}) are
     still readable so committed round-2 checkpoints stay diagnosable.
+
+    A corrupt checkpoint (process killed mid-save: orbax ``force=True``
+    deletes the old tree before writing the new one, so a kill inside the
+    write window leaves a partial dir) returns None with a loud warning
+    instead of raising — the queue retry loops must degrade to a restart,
+    never crash-loop on an unreadable snapshot (round-5 host-restart
+    hardening).
     """
     import jax.numpy as jnp
 
     path = os.path.abspath(path)
     if not os.path.exists(path):
         return None
-    if os.path.isfile(path):  # legacy pickle
-        import pickle
+    try:
+        if os.path.isfile(path):  # legacy pickle
+            import pickle
 
-        with open(path, "rb") as fh:
-            saved = pickle.load(fh)
-        ts = jax.tree.map(jnp.asarray, saved["ts"])
-        return ts, int(saved["chunk"])
-    restored = load_checkpoint(
-        path, target={"ts": template_ts._asdict(), "chunk": 0})
-    ts = type(template_ts)(**{
-        k: jax.tree.map(jnp.asarray, v) for k, v in restored["ts"].items()})
-    return ts, int(restored["chunk"])
+            with open(path, "rb") as fh:
+                saved = pickle.load(fh)
+            ts = jax.tree.map(jnp.asarray, saved["ts"])
+            return ts, int(saved["chunk"])
+        restored = load_checkpoint(
+            path, target={"ts": template_ts._asdict(), "chunk": 0})
+        ts = type(template_ts)(**{
+            k: jax.tree.map(jnp.asarray, v)
+            for k, v in restored["ts"].items()})
+        return ts, int(restored["chunk"])
+    except Exception as e:  # noqa: BLE001 — any unreadable snapshot
+        print(f"[checkpoint] WARNING: unreadable checkpoint at {path} "
+              f"({type(e).__name__}: {e}); starting fresh", flush=True)
+        return None
 
 
 def latest_checkpoint(log_dir: str, prefix: str = "ckpt_") -> Optional[str]:

@@ -328,25 +328,6 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
             print(f"[rescue @ {it_done}] all modes healthy", flush=True)
         return ts
 
-    t0 = time.time()
-    for i in range(start_chunk, num_iters // CHUNK):
-        ts, m = run(ts, jax.random.fold_in(jax.random.key(2), i))
-        it_done = (i + 1) * CHUNK
-        if (RESCUE and it_done % RESCUE_EVERY == 0
-                and it_done <= RESCUE_END_FRAC * num_iters
-                and it_done < num_iters):
-            ts = maybe_rescue(ts, it_done)
-        if CKPT and (i + 1) % int(os.environ.get("NS_CKPT_EVERY", "25")) == 0:
-            _save_ckpt(ts, i + 1)
-        if (i + 1) % 50 == 0:
-            print(f"iter {(i + 1) * CHUNK}: loss {float(m['loss'][-1]):.4f} "
-                  f"gnorm_max {float(m['gnorm'].max()):.3g} "
-                  f"med {float(jnp.median(m['gnorm'])):.3g} "
-                  f"skips {int(m['skipped'].sum())} "
-                  f"({((i + 1) - start_chunk) * CHUNK / (time.time() - t0):.0f}"
-                  f" steps/s)", flush=True)
-    train_time = time.time() - t0
-
     # eval under the sampling measure with conjugation (EMA params)
     gt_sorted = np.sort(np.asarray(gt))[::-1][:EVAL_TOP]
     gt_problem = Hydrogen2D() if NDIM == 2 else Hydrogen3D()
@@ -374,6 +355,59 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         return (rep["rel"], rep["rel_grouped"], rep["rel_aligned"],
                 rep["max_off_corr"], rep["health"])
 
+    # Mid-run partial rows + early gate stop (round 5): the 800k flagship
+    # runs are hours long and the host can restart mid-run losing every
+    # uncommitted byte (observed 2026-08-19 06:14 — the round-4 queue's
+    # gate attempt died at ~2.4h with nothing recoverable).  NS_EVAL_EVERY
+    # emits a full EMA spectrum_report + a machine-parseable JSON line
+    # every N iters, so the queue's log autocommit turns any truncated run
+    # into a measured partial row; NS_GATE stops training as soon as the
+    # grouped criterion is met (saving TPU-hours for the rest of the queue).
+    EVAL_EVERY = int(os.environ.get("NS_EVAL_EVERY", "0"))
+    GATE = float(os.environ.get("NS_GATE", "0"))
+    assert EVAL_EVERY % CHUNK == 0, "NS_EVAL_EVERY must be a CHUNK multiple"
+
+    t0 = time.time()
+    trained_chunks = 0
+    for i in range(start_chunk, num_iters // CHUNK):
+        ts, m = run(ts, jax.random.fold_in(jax.random.key(2), i))
+        it_done = (i + 1) * CHUNK
+        trained_chunks = i + 1 - start_chunk
+        if (RESCUE and it_done % RESCUE_EVERY == 0
+                and it_done <= RESCUE_END_FRAC * num_iters
+                and it_done < num_iters):
+            ts = maybe_rescue(ts, it_done)
+        if CKPT and (i + 1) % int(os.environ.get("NS_CKPT_EVERY", "25")) == 0:
+            _save_ckpt(ts, i + 1)
+        if (i + 1) % 50 == 0:
+            print(f"iter {(i + 1) * CHUNK}: loss {float(m['loss'][-1]):.4f} "
+                  f"gnorm_max {float(m['gnorm'].max()):.3g} "
+                  f"med {float(jnp.median(m['gnorm'])):.3g} "
+                  f"skips {int(m['skipped'].sum())} "
+                  f"({((i + 1) - start_chunk) * CHUNK / (time.time() - t0):.0f}"
+                  f" steps/s)", flush=True)
+        if EVAL_EVERY and it_done % EVAL_EVERY == 0 and it_done < num_iters:
+            p_rel, p_grp, _, p_off, p_health = spectrum_of(
+                ts.ema_params, f"ema@{it_done}")
+            print(json.dumps({
+                "metric": (f"hydrogen{NDIM}d_L{EVAL_TOP}"
+                           "_eigval_max_rel_err_grouped"
+                           + ("" if METHOD == "nestedlora"
+                              else f"_{METHOD}")),
+                "value": float(p_grp.max()),
+                "partial_at_iter": it_done,
+                "max_off_diag_corr": float(p_off),
+                "n_spurious_modes": int((~p_health["healthy"]).sum()),
+            }), flush=True)
+            if CKPT:
+                _save_ckpt(ts, i + 1)
+            if GATE and float(p_grp.max()) <= GATE:
+                print(f"early stop: grouped {float(p_grp.max()):.4g} <= "
+                      f"gate {GATE} at iter {it_done}", flush=True)
+                num_iters = it_done  # final JSON reports the true budget
+                break
+    train_time = time.time() - t0
+
     print("analytic:", np.round(gt_sorted, 4))
     spectrum_of(ts.params, "raw")
     (rel, rel_grouped, rel_aligned, max_off,
@@ -393,7 +427,7 @@ def main(num_iters=300_000, lap_eps=LAP_EPS):
         # run starts at start_chunk * CHUNK, not 0 — ADVICE r2); 0.0 for
         # eval-only invocations (ckpt resumed at/after num_iters)
         "train_steps_per_sec": round(
-            max(num_iters - start_chunk * CHUNK, 0) / train_time, 1),
+            max(trained_chunks, 0) * CHUNK / train_time, 1),
         "resumed_at_iter": start_chunk * CHUNK,
         "target": 1e-3,
         "config": {"mix": MIX_SCALES, "mix_weights": MIX_WEIGHTS,
