@@ -16,8 +16,12 @@ export NSQ_LOG=log/r5/tpu_queue.log
 . scripts/queue_lib.sh
 
 nsq_pid_gate /tmp/ns_r5tpu2.pid || exit 1
-nsq_mark "r5 follow-up queue armed; waiting for main queue ALL DONE"
-while ! grep -q "ALL DONE" log/r5/tpu_queue.log 2>/dev/null; do
+# match the main queue's terminal marker EXACTLY ("[queue] ALL DONE at
+# <date>") — a substring match would hit this script's own "waiting for
+# ... ALL DONE" heartbeat line and start the queue immediately,
+# contending for the single TPU claim (bug caught live 08:11)
+nsq_mark "r5 follow-up queue armed; waiting for main queue to finish"
+while ! grep -q '^\[queue\] ALL DONE at' log/r5/tpu_queue.log 2>/dev/null; do
   sleep 60
 done
 nsq_mark "r5 follow-up queue start"
