@@ -117,11 +117,15 @@ def profile_hydrogen(trace_dir):
         make_scanned_train_step, make_train_step)
     from neuralsvd_tpu.training.train_state import init_train_state
 
-    NEIGS, BATCH = 16, 512
+    # NSP_* overrides exist for the CPU smoke test only (the shipped
+    # numbers always use the flagship shapes)
+    NEIGS = int(os.environ.get("NSP_NEIGS", "16"))
+    BATCH = int(os.environ.get("NSP_BATCH", "512"))
     init, apply = make_wavefunctions(
         ndim=2, neigs=NEIGS, mlp_hidden_dims=[128, 128, 128],
         nonlinearity="softplus", parallel=True, use_fourier_feature=True,
-        fourier_mapping_size=1024, fourier_scale=0.1,
+        fourier_mapping_size=int(os.environ.get("NSP_FMAP", "1024")),
+        fourier_scale=0.1,
         fourier_append_radial=True,
         fourier_append_envelopes=tuple(1 / (n + 0.5) for n in range(4)),
         apply_boundary=False)
@@ -154,7 +158,7 @@ def profile_hydrogen(trace_dir):
     step_flops = single_call_flops(step,
                                    init_train_state(params, opt, method),
                                    jax.random.key(2))
-    K = 500
+    K = int(os.environ.get("NSP_K", "500"))
     scan = make_scanned_train_step(method, operator, opt, sampler,
                                    ema_decay=0.995, steps_per_call=K)
     ts0 = init_train_state(params, opt, method)
@@ -167,6 +171,29 @@ def profile_hydrogen(trace_dir):
     # profiler trace of the scanned hot loop
     jax.profiler.start_trace(os.path.join(trace_dir, "hydrogen"))
     jax.block_until_ready(run(ts0, jax.random.key(4)))
+    jax.profiler.stop_trace()
+
+    # the GATE-PASSING step (VERDICT r4 item 3): exact forward-Laplacian
+    # engine instead of the FD-0.1 stencil — the accuracy results
+    # (hydrogen E4 7.6e-4, the L=36 flagship) all train THIS step, so the
+    # MFU table must characterize it too
+    operator_x, _, _ = get_problem(
+        problem="sch", potential_type="hydrogen", ndim=2, neigs=NEIGS,
+        laplacian_eps=-1.0, laplacian_mode="forward", operator_scale=100.0)
+    step_x = make_train_step(method, operator_x, opt, sampler,
+                             ema_decay=0.995)
+    step_x_flops = single_call_flops(
+        step_x, init_train_state(params, opt, method), jax.random.key(2))
+    scan_x = make_scanned_train_step(method, operator_x, opt, sampler,
+                                     ema_decay=0.995, steps_per_call=K)
+    warm_x = jax.jit(scan_x)
+    jax.block_until_ready(warm_x(ts0, jax.random.key(2))[1])
+    run_x = jax.jit(lambda ts, k: scan_x(ts, k))
+    t_x = _wall(run_x, (ts0, jax.random.key(3)), n=3) / K
+    rows.append(report("hydrogen/production_scan_step_exact_forward", t_x,
+                       step_x_flops, {"steps_per_sec": round(1 / t_x, 1)}))
+    jax.profiler.start_trace(os.path.join(trace_dir, "hydrogen_exact"))
+    jax.block_until_ready(run_x(ts0, jax.random.key(4)))
     jax.profiler.stop_trace()
     return rows
 
