@@ -98,9 +98,11 @@ def get_problem(
             if ndim == 1:
                 cs = [1.0]
             elif ndim == 2:
-                assert neigs <= 25
+                # Han-Lu-Zhou publish 25 eigenvalues; neigs > 25 trains
+                # guard modes (eval reports the eigval-sorted top 25), so
+                # truncate the plot-only ground truth instead of asserting
                 cs = _COSINE_2D_CS
-                ground_truth = -np.asarray(_COSINE_2D_EIGVALS[:neigs])
+                ground_truth = -np.asarray(_COSINE_2D_EIGVALS[:min(neigs, 25)])
             elif ndim == 5:
                 cs = _COSINE_5D_CS
                 ground_truth = np.asarray([0.054018930536326] + [0.0] * (neigs - 1))

@@ -117,3 +117,20 @@ def test_coordinate_transforms_roundtrip():
     np.testing.assert_allclose(r * np.sin(th) * np.cos(phi), xyz[0], atol=1e-12)
     np.testing.assert_allclose(r * np.sin(th) * np.sin(phi), xyz[1], atol=1e-12)
     np.testing.assert_allclose(r * np.cos(th), xyz[2], atol=1e-12)
+
+
+def test_cosine2d_guard_modes_truncate_literature_table():
+    """neigs > 25 (guard modes) must not crash the cosine-2D registry.
+
+    Han-Lu-Zhou publish 25 eigenvalues; the guard-mode protocol trains
+    extra sacrificial modes and reports the eigval-sorted top 25, so the
+    registry truncates the plot-only ground truth instead of asserting
+    (regression: r5 follow-up queue step died on `assert neigs <= 25`).
+    """
+    from neuralsvd_tpu.operators.problems import get_problem
+    op, gt, _ = get_problem(problem="sch", potential_type="cosine",
+                            ndim=2, neigs=27, laplacian_eps=-1.0)
+    assert gt.shape == (25,)
+    op25, gt25, _ = get_problem(problem="sch", potential_type="cosine",
+                                ndim=2, neigs=25, laplacian_eps=-1.0)
+    np.testing.assert_array_equal(gt, gt25)
