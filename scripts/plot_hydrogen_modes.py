@@ -46,10 +46,30 @@ def main(ckpt, out_dir, lap_eps=-1.0, lim=None, grid=192, eval_rounds=16):
     assert ns.NDIM in (2, 3), "figure tool renders 2D fields (3D: z=0 slice)"
     operator, gt, _, importance, init, apply = ns.build_model(lap_eps)
     params = init(jax.random.key(0))
-    method = NestedLoRA(apply, neigs=ns.NEIGS, sequential=ns.SEQUENTIAL)
+    # mirror validate_northstar.main()'s method/opt construction exactly —
+    # the restore template's pytree structure must match the checkpoint's
+    # (multi-method state, per-mode tail-LR optimizer chain)
+    if ns.METHOD == "nestedlora":
+        method = NestedLoRA(apply, neigs=ns.NEIGS, sequential=ns.SEQUENTIAL)
+    else:
+        from neuralsvd_tpu.methods.factories import get_evd_method
+
+        opts = {"spin": dict(decay=float(
+                    os.environ.get("NS_SPIN_DECAY", "0.05"))),
+                "neuralef": dict(unbiased=True,
+                                 batchnorm_mode="unbiased")}[ns.METHOD]
+        method = get_evd_method(ns.METHOD, apply, ns.NEIGS, **opts)
     # any horizon works for the template: the schedule count's *structure*
     # is what load_resumable needs; values are overwritten by the restore
     opt = torch_rmsprop(cosine_annealing(1e-4, 1), alpha=0.999)
+    if ns.TAIL_LR != 1.0:
+        import optax
+
+        from neuralsvd_tpu.training.optimizers import per_mode_lr
+
+        scales = np.where(np.arange(ns.NEIGS) >= ns.TAIL_LR_START,
+                          ns.TAIL_LR, 1.0).astype(np.float32)
+        opt = optax.chain(opt, per_mode_lr(scales, ns.NEIGS))
     ts = init_train_state(params, opt, method)
     loaded = load_resumable(ckpt, ts)
     assert loaded is not None, f"no checkpoint at {ckpt}"
@@ -71,8 +91,10 @@ def main(ckpt, out_dir, lap_eps=-1.0, lim=None, grid=192, eval_rounds=16):
         c, q = accum(ts.ema_params, jax.random.fold_in(jax.random.key(3), r))
         cov, quad = cov + c, quad + q
     rayleigh = np.asarray(jnp.diag(quad) / jnp.diag(cov))
-    order = np.argsort(rayleigh)[::-1]
-    gt_sorted = np.sort(np.asarray(gt))[::-1]
+    # guard modes (NS_EVAL_TOP < NS_NEIGS) train but are excluded from
+    # the reported figure, same as the accuracy metrics
+    order = np.argsort(rayleigh)[::-1][:ns.EVAL_TOP]
+    gt_sorted = np.sort(np.asarray(gt))[::-1][:ns.EVAL_TOP]
 
     # physical wavefunctions on a uniform grid: psi = sqrt(w) * f
     if lim is None:
@@ -95,11 +117,11 @@ def main(ckpt, out_dir, lap_eps=-1.0, lim=None, grid=192, eval_rounds=16):
     titles = [f"λ={rayleigh[m]:.2f} ({g:.2f})"
               for m, g in zip(order, gt_sorted)]
     stem = os.path.basename(ckpt.rstrip("/")).split(".")[0]
-    tag = f"{stem}_L{ns.NEIGS}_chunk{chunk}"
+    tag = f"{stem}_L{ns.EVAL_TOP}_chunk{chunk}"
     path = plot_2d_eigfuncs(
-        psi, out_dir, tag=tag, max_modes=ns.NEIGS, titles=titles,
+        psi, out_dir, tag=tag, max_modes=ns.EVAL_TOP, titles=titles,
         symmetric=True,
-        suptitle=(f"hydrogen {ns.NDIM}D top-{ns.NEIGS} learned "
+        suptitle=(f"hydrogen {ns.NDIM}D top-{ns.EVAL_TOP} learned "
                   f"eigenfunctions ψ=√w·f"
                   + (", z=0 slice" if ns.NDIM == 3 else "")
                   + f", box ±{lim:.0f} (λ learned vs analytic)"))
